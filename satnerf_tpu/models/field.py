@@ -1,0 +1,320 @@
+"""Unified satellite-NeRF field: trunk MLP + heads as pure param pytrees.
+
+One statically-configured field family replaces the reference's four model
+classes (ref: baseline/models/nerf.py:93-212, snerf.py:101-243,
+satnerf.py:101-255, semantic/models/rs_semantic.py:139-340). Architecture per
+point:
+
+    enc(xyz) -> 8x512 trunk (skip-concat at layer 4, SIREN w0=30 first layer)
+      -> sigma head        Linear(feat,1)+softplus
+      -> feats             Linear(feat,feat)                (no nonlinearity)
+      -> rgb head          Linear(feat[+dir][+tau],fl)+nl+Linear(fl,3)+sigmoid
+                           then rgb*(1+2*pad)-pad            (pad=0.001)
+      -> sun-vis head      Linear(feat+3,fl)+nl+2x[Linear(fl,fl)+nl]
+                           +Linear(fl,1)+sigmoid             (snerf+)
+      -> sky head          Linear(3,fl)+relu+Linear(fl,3)+sigmoid
+      -> beta head         Linear(feat+tau,fl)+nl+Linear(fl,1)+softplus
+                           (satnerf+)
+      -> beta_s head       same shape, optional               (rs_semantic)
+      -> semantic head     Linear(feat[+tau],fl)+nl+Linear(fl,n_classes)
+                           [+sigmoid]                         (rs_semantic)
+
+with fl = feat (fc_use_full_features) or feat//2.
+
+Weight init mirrors the reference's torch defaults so trained behaviour is
+statistically identical: Linear U(+-1/sqrt(fan_in)) for weights and biases;
+SIREN layers (trunk + sun-vis net) get U(+-sqrt(6/fan_in)) weights with the
+first layer of each at U(+-1/fan_in) (ref: baseline/models/commons.py:5-18).
+
+TPU-first shape discipline: the forward is a flat (N, C) batched matmul chain
+— callers flatten (rays, samples) and concatenate solar-correction / depth
+points into the SAME invocation so the MXU sees one large GEMM per layer
+instead of the reference's chunked repeat_interleave loops
+(ref: satnerf.py:36-70). Optional bfloat16 compute for the trunk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satnerf_tpu.core.encoding import encoded_size, positional_encoding
+
+VARIANTS = ("nerf", "snerf", "satnerf", "rs_semantic")
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Static field architecture flags (hashable: safe as a jit static arg)."""
+
+    variant: str = "satnerf"
+    layers: int = 8
+    feat: int = 512
+    skips: tuple = (4,)
+    siren: bool = True
+    # Positional encoding usage differs per reference variant: NeRF uses
+    # mapping=True + ReLU (ref: nerf.py:99-104 defaults), Shadow-NeRF and
+    # SatNeRF feed RAW xyz into the SIREN trunk (mapping=False defaults,
+    # ref: snerf.py:101-110, satnerf.py:101-110 + pipeline constructors),
+    # RS-Semantic always encodes (ref: rs_semantic.py:160-168).
+    mapping: bool = False
+    mapping_pos_n_freq: int = 10
+    mapping_dir_n_freq: int = 4
+    fc_use_full_features: bool = False
+    t_embedding_tau: int = 4
+    rgb_padding: float = 0.001
+    # rs_semantic options (ref: configs/pipelines/rs_semantic.toml:55-66)
+    n_classes: int = 5
+    semantic_sigmoid: bool = True
+    use_tj_for_s: bool = False
+    use_tj_instead_of_beta: bool = False
+    use_separate_beta_for_s: bool = False
+    use_separate_tj_for_semantic: bool = False
+
+    def __post_init__(self):
+        assert self.variant in VARIANTS, f"unknown variant {self.variant}"
+
+    # -- capability flags --------------------------------------------------
+    @property
+    def has_sun(self) -> bool:
+        return self.variant in ("snerf", "satnerf", "rs_semantic")
+
+    @property
+    def has_beta(self) -> bool:
+        return self.variant in ("satnerf", "rs_semantic")
+
+    @property
+    def has_semantic(self) -> bool:
+        return self.variant == "rs_semantic"
+
+    @property
+    def use_dir(self) -> bool:
+        # only classic NeRF consumes view directions (input_sizes=[3,3],
+        # ref: nerf.py:107; sat variants use input_sizes=[3,0])
+        return self.variant == "nerf"
+
+    @property
+    def feat_last(self) -> int:
+        return self.feat if self.fc_use_full_features else self.feat // 2
+
+    @property
+    def xyz_in(self) -> int:
+        return encoded_size(self.mapping_pos_n_freq, 3) if self.mapping else 3
+
+    @property
+    def dir_in(self) -> int:
+        if not self.use_dir:
+            return 0
+        return encoded_size(self.mapping_dir_n_freq, 3) if self.mapping else 3
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+
+def _linear_init(key, fan_in: int, fan_out: int, w_bound: float | None = None):
+    """torch.nn.Linear default: U(+-1/sqrt(fan_in)) for W and b; optional
+    SIREN weight bound override (bias keeps the torch default)."""
+    kw, kb = jax.random.split(key)
+    default = 1.0 / np.sqrt(fan_in)
+    wb = default if w_bound is None else w_bound
+    return {
+        "w": jax.random.uniform(
+            kw, (fan_in, fan_out), jnp.float32, minval=-wb, maxval=wb
+        ),
+        "b": jax.random.uniform(
+            kb, (fan_out,), jnp.float32, minval=-default, maxval=default
+        ),
+    }
+
+
+def _siren_bound(fan_in: int, first: bool) -> float:
+    # ref: commons.py:5-18 — sine_init sqrt(6/fan_in); first layer 1/fan_in
+    return 1.0 / fan_in if first else float(np.sqrt(6.0 / fan_in))
+
+
+def init_field_params(key: jax.Array, cfg: FieldConfig) -> dict:
+    """Initialise all field parameters as a nested dict pytree."""
+    keys = iter(jax.random.split(key, 64))
+    p: dict = {}
+
+    # trunk
+    trunk = []
+    for i in range(cfg.layers):
+        if i == 0:
+            fan_in = cfg.xyz_in
+        elif i in cfg.skips:
+            fan_in = cfg.feat + cfg.xyz_in
+        else:
+            fan_in = cfg.feat
+        wb = _siren_bound(fan_in, first=(i == 0)) if cfg.siren else None
+        trunk.append(_linear_init(next(keys), fan_in, cfg.feat, wb))
+    p["trunk"] = trunk
+
+    p["sigma"] = _linear_init(next(keys), cfg.feat, 1)
+    p["feats"] = _linear_init(next(keys), cfg.feat, cfg.feat)
+
+    rgb_in = cfg.feat + cfg.dir_in
+    if cfg.has_semantic and cfg.use_tj_instead_of_beta:
+        rgb_in += cfg.t_embedding_tau
+    p["rgb"] = [
+        _linear_init(next(keys), rgb_in, cfg.feat_last),
+        _linear_init(next(keys), cfg.feat_last, 3),
+    ]
+
+    if cfg.has_sun:
+        sun_layers = []
+        fl = cfg.feat_last
+        dims = [(cfg.feat + 3, fl), (fl, fl), (fl, fl), (fl, 1)]
+        for i, (fi, fo) in enumerate(dims):
+            wb = _siren_bound(fi, first=(i == 0)) if cfg.siren else None
+            sun_layers.append(_linear_init(next(keys), fi, fo, wb))
+        p["sun_v"] = sun_layers
+        p["sky"] = [
+            _linear_init(next(keys), 3, cfg.feat_last),
+            _linear_init(next(keys), cfg.feat_last, 3),
+        ]
+
+    if cfg.has_beta:
+        p["beta"] = [
+            _linear_init(next(keys), cfg.feat + cfg.t_embedding_tau, cfg.feat_last),
+            _linear_init(next(keys), cfg.feat_last, 1),
+        ]
+
+    if cfg.has_semantic:
+        if cfg.use_separate_beta_for_s:
+            p["beta_s"] = [
+                _linear_init(
+                    next(keys), cfg.feat + cfg.t_embedding_tau, cfg.feat_last
+                ),
+                _linear_init(next(keys), cfg.feat_last, 1),
+            ]
+        s_in = cfg.feat + (cfg.t_embedding_tau if cfg.use_tj_for_s else 0)
+        p["semantic"] = [
+            _linear_init(next(keys), s_in, cfg.feat_last),
+            _linear_init(next(keys), cfg.feat_last, cfg.n_classes),
+        ]
+
+    return p
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _linear(layer, x, dtype=None):
+    w, b = layer["w"], layer["b"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    return x @ w + b.astype(x.dtype)
+
+
+def _act(cfg: FieldConfig, x, first: bool = False):
+    if cfg.siren:
+        return jnp.sin((30.0 if first else 1.0) * x)
+    return jax.nn.relu(x)
+
+
+def field_forward(
+    params: dict,
+    cfg: FieldConfig,
+    xyz,
+    view_dir=None,
+    sun_d=None,
+    t_emb=None,
+    t_s_emb=None,
+    compute_dtype=None,
+) -> dict:
+    """Evaluate the field at a flat batch of points.
+
+    Args:
+        xyz: (N, 3) scene-normalised positions.
+        view_dir: (N, 3) unit view directions (NeRF variant only).
+        sun_d: (N, 3) unit sun directions (snerf+).
+        t_emb: (N, tau) transient embedding rows (satnerf+).
+        t_s_emb: (N, tau) separate semantic embedding (optional).
+        compute_dtype: e.g. jnp.bfloat16 for the trunk/head GEMMs; sensitive
+            nonlinearities (softplus/sigmoid/sin args) stay f32 by casting
+            back at head outputs.
+    Returns:
+        dict of per-point outputs (all f32): rgb (N,3), sigma (N,), plus
+        sun_v (N,1), sky (N,3), beta (N,1), beta_s (N,1), semantic (N,C)
+        depending on the variant flags.
+    """
+    dt = compute_dtype
+    enc_x = positional_encoding(xyz, cfg.mapping_pos_n_freq) if cfg.mapping else xyz
+    if dt is not None:
+        enc_x = enc_x.astype(dt)
+
+    h = enc_x
+    for i, layer in enumerate(params["trunk"]):
+        if i in cfg.skips:
+            h = jnp.concatenate([enc_x, h], axis=-1)
+        h = _linear(layer, h, dt)
+        h = _act(cfg, h, first=(i == 0))
+    shared = h
+
+    sigma = jax.nn.softplus(_linear(params["sigma"], shared).astype(jnp.float32))
+    feats = _linear(params["feats"], shared, dt)
+
+    out = {"sigma": sigma[..., 0]}
+
+    # rgb head
+    rgb_in = feats
+    if cfg.use_dir:
+        enc_d = (
+            positional_encoding(view_dir, cfg.mapping_dir_n_freq)
+            if cfg.mapping
+            else view_dir
+        )
+        rgb_in = jnp.concatenate([rgb_in, enc_d.astype(rgb_in.dtype)], axis=-1)
+    if cfg.has_semantic and cfg.use_tj_instead_of_beta:
+        rgb_in = jnp.concatenate([rgb_in, t_emb.astype(rgb_in.dtype)], axis=-1)
+    hr = _act(cfg, _linear(params["rgb"][0], rgb_in, dt))
+    rgb = jax.nn.sigmoid(_linear(params["rgb"][1], hr).astype(jnp.float32))
+    out["rgb"] = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
+
+    if cfg.has_sun:
+        # all sun-vis activations use w0=1 (ref: snerf.py sun_v_layers use
+        # Siren() without the w0=30 first-layer boost)
+        sv = jnp.concatenate([feats, sun_d.astype(feats.dtype)], axis=-1)
+        for layer in params["sun_v"][:-1]:
+            sv = _act(cfg, _linear(layer, sv, dt))
+        out["sun_v"] = jax.nn.sigmoid(
+            _linear(params["sun_v"][-1], sv).astype(jnp.float32)
+        )
+        sk = jax.nn.relu(_linear(params["sky"][0], sun_d.astype(jnp.float32)))
+        out["sky"] = jax.nn.sigmoid(_linear(params["sky"][1], sk).astype(jnp.float32))
+
+    if cfg.has_beta:
+        bi = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+        hb = _act(cfg, _linear(params["beta"][0], bi, dt))
+        out["beta"] = jax.nn.softplus(
+            _linear(params["beta"][1], hb).astype(jnp.float32)
+        )
+
+    if cfg.has_semantic:
+        if cfg.use_separate_beta_for_s:
+            bsi = t_s_emb if cfg.use_separate_tj_for_semantic else t_emb
+            bi = jnp.concatenate([feats, bsi.astype(feats.dtype)], axis=-1)
+            hb = _act(cfg, _linear(params["beta_s"][0], bi, dt))
+            out["beta_s"] = jax.nn.softplus(
+                _linear(params["beta_s"][1], hb).astype(jnp.float32)
+            )
+        si = feats
+        if cfg.use_tj_for_s:
+            st = t_s_emb if cfg.use_separate_tj_for_semantic else t_emb
+            si = jnp.concatenate([si, st.astype(si.dtype)], axis=-1)
+        hs = _act(cfg, _linear(params["semantic"][0], si, dt))
+        logits = _linear(params["semantic"][1], hs).astype(jnp.float32)
+        if cfg.semantic_sigmoid:
+            logits = jax.nn.sigmoid(logits)
+        out["semantic"] = logits
+
+    return out

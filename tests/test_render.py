@@ -1,0 +1,127 @@
+"""Renderer tests across all four variants: shapes, ranges, solar-correction
+outputs, jit-compatibility, and the bfloat16 compute path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from satnerf_tpu.models import FieldConfig, init_field_params, init_embedding
+from satnerf_tpu.render import RenderConfig, render_rays, render_image_chunked
+
+
+def _rays(b=16, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.5, 0.5, (b, 3)).astype(np.float32)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    far = rng.uniform(0.5, 1.0, (b, 1)).astype(np.float32)
+    rays = np.concatenate([o, d, np.zeros((b, 1), np.float32), far], 1)
+    sun = rng.normal(size=(1, 3)); sun /= np.linalg.norm(sun)
+    extras = np.concatenate(
+        [np.tile(sun, (b, 1)).astype(np.float32),
+         (np.arange(b) % 4).astype(np.float32)[:, None]], 1
+    )
+    return jnp.asarray(rays), jnp.asarray(extras)
+
+
+def _params(fcfg, seed=0):
+    key = jax.random.PRNGKey(seed)
+    p = {"field": init_field_params(key, fcfg)}
+    if fcfg.has_beta:
+        p["t"] = init_embedding(jax.random.PRNGKey(seed + 1), 8, fcfg.t_embedding_tau)
+    return p
+
+
+SMALL = dict(layers=2, feat=64, skips=(1,))
+
+
+@pytest.mark.parametrize("variant,mapping,siren", [
+    ("nerf", True, False),
+    ("snerf", False, True),
+    ("satnerf", False, True),
+    ("rs_semantic", True, True),
+])
+def test_variant_render_shapes(variant, mapping, siren):
+    fcfg = FieldConfig(variant=variant, mapping=mapping, siren=siren, **SMALL)
+    rcfg = RenderConfig(field=fcfg, n_samples=8, solar_correction=True)
+    rays, extras = _rays()
+    out = render_rays(_params(fcfg), rcfg, rays, extras, key=jax.random.PRNGKey(0))
+
+    assert out["rgb"].shape == (16, 3)
+    assert out["depth"].shape == (16,)
+    assert out["weights"].shape == (16, 8)
+    if variant == "nerf":
+        assert "sun" not in out and "weights_sc" not in out
+    else:
+        assert out["sun"].shape == (16, 8, 1)
+        assert out["sky"].shape == (16, 8, 3)
+        # solar-correction second pass present (ref: rendering.py:47-66)
+        assert out["weights_sc"].shape == (16, 8)
+        assert out["sun_sc"].shape == (16, 8, 1)
+        assert float(jnp.min(out["rgb"])) >= 0.0
+        assert float(jnp.max(out["rgb"])) <= 1.0
+    if variant in ("satnerf", "rs_semantic"):
+        assert out["beta"].shape == (16, 8, 1)
+        assert float(jnp.min(out["beta"])) >= 0.0
+    if variant == "rs_semantic":
+        assert out["semantic_logits"].shape == (16, 5)
+        assert out["semantic_label"].shape == (16,)
+
+
+def test_rs_semantic_ablation_heads():
+    fcfg = FieldConfig(
+        variant="rs_semantic", mapping=True, siren=True,
+        use_separate_beta_for_s=True, use_tj_for_s=True,
+        use_separate_tj_for_semantic=True, **SMALL
+    )
+    rcfg = RenderConfig(field=fcfg, n_samples=4, solar_correction=False)
+    p = _params(fcfg)
+    p["t_s"] = init_embedding(jax.random.PRNGKey(9), 8, fcfg.t_embedding_tau)
+    rays, extras = _rays(8)
+    out = render_rays(p, rcfg, rays, extras, key=jax.random.PRNGKey(1))
+    assert out["beta_semantic"].shape == (8, 4, 1)
+
+
+def test_render_jit_and_determinism():
+    fcfg = FieldConfig(variant="satnerf", **SMALL)
+    rcfg = RenderConfig(field=fcfg, n_samples=8)
+    p = _params(fcfg)
+    rays, extras = _rays()
+    fn = jax.jit(lambda pp, r, e, k: render_rays(pp, rcfg, r, e, key=k))
+    o1 = fn(p, rays, extras, jax.random.PRNGKey(3))
+    o2 = fn(p, rays, extras, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(o1["rgb"]), np.asarray(o2["rgb"]))
+    o3 = render_rays(p, rcfg, rays, extras, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        np.asarray(o1["rgb"]), np.asarray(o3["rgb"]), atol=1e-6
+    )
+
+
+def test_bfloat16_close_to_f32():
+    fcfg = FieldConfig(variant="satnerf", **SMALL)
+    p = _params(fcfg)
+    rays, extras = _rays()
+    out32 = render_rays(
+        p, RenderConfig(field=fcfg, n_samples=8), rays, extras, key=None
+    )
+    out16 = render_rays(
+        p, RenderConfig(field=fcfg, n_samples=8, compute_dtype="bfloat16"),
+        rays, extras, key=None,
+    )
+    assert out16["rgb"].dtype == jnp.float32  # outputs stay f32
+    np.testing.assert_allclose(
+        np.asarray(out16["rgb"]), np.asarray(out32["rgb"]), atol=0.05
+    )
+
+
+def test_render_image_chunked_matches_unchunked():
+    fcfg = FieldConfig(variant="satnerf", **SMALL)
+    rcfg = RenderConfig(field=fcfg, n_samples=8)
+    p = _params(fcfg)
+    rays, extras = _rays(37)  # deliberately not a multiple of the chunk
+    full = render_rays(p, rcfg, rays, extras, key=None)
+    chunked = render_image_chunked(p, rcfg, np.asarray(rays), np.asarray(extras), chunk=16)
+    assert chunked["rgb"].shape == (37, 3)
+    np.testing.assert_allclose(chunked["rgb"], np.asarray(full["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(chunked["depth"], np.asarray(full["depth"]), atol=1e-5)
