@@ -1,0 +1,257 @@
+"""The fused training step: render + all loss terms + Adam update in one jit.
+
+Replaces the Lightning training_step call tree (ref:
+semantic/components/training_step.py:10-99, baseline/components/
+training_step.py:7-59, base_ray_pipeline.py:56-99) with a single compiled
+program. Design decisions for TPU:
+
+* epoch-dependent gates (beta at ``first_beta_epoch``, car-reg at
+  ``car_reg_loss_start``) are runtime multiplier masks derived from the step
+  counter carried in TrainState — no retraces across epochs;
+* the depth-supervision phase boundary (``depth_supervision_drop``) is a
+  STATIC flag: the host loop switches from the with-depth step function to
+  the without-depth one at the boundary, so the post-drop program does not
+  pay the depth forward at all (the reference keeps evaluating the depth
+  renderer inputs until the gate turns false);
+* the depth forward skips the solar-correction pass — the reference renders
+  it but never reads its outputs in the depth loss
+  (ref: training_step.py:32-35 feeds the full renderer; only depth is used);
+* gradients flow through one ``jax.value_and_grad``; under a sharded batch
+  the mean-reductions make XLA insert the cross-chip psum automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from satnerf_tpu.render.renderer import RenderConfig, render_rays
+from satnerf_tpu.train import losses
+from satnerf_tpu.train.state import TrainState
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static step configuration (hashable; derived from MainConfig)."""
+
+    render: RenderConfig
+    steps_per_epoch: int
+    # rgb loss
+    sc_lambda: float = 0.05
+    first_beta_epoch: int = 2
+    # depth
+    depth: bool = False  # include the depth forward in this step program
+    ds_lambda: float = 1000.0
+    ds_noweights: bool = False
+    # semantic
+    semantic: bool = False
+    lambda_s: float = 0.04
+    car_index: int = -1
+    ignore_car_index: bool = True
+    use_beta_for_s: bool = False
+    detach_beta_for_s: bool = False
+    use_car_reg_loss: bool = False
+    car_reg_loss_start: int = 3
+    lambda_c: float = 0.1
+
+    @property
+    def variant(self) -> str:
+        return self.render.field.variant
+
+
+def compute_losses(scfg: StepConfig, params, batch, step, key):
+    """Render + every loss term for one batch. Shared by train and eval."""
+    fcfg = scfg.render.field
+    k_main, k_depth = (
+        jax.random.split(key) if key is not None else (None, None)
+    )
+
+    results = render_rays(params, scfg.render, batch["rays"], batch["extras"], key=k_main)
+
+    epoch = step // scfg.steps_per_epoch
+    loss_dict: dict = {}
+
+    # -- RGB loss (beta-gated, ref: training_step.py:22-27) ---------------
+    sc_on = scfg.sc_lambda > 0 and scfg.render.solar_correction
+    if scfg.variant == "nerf":
+        rgb_loss, rgb_dict = losses.nerf_loss(results, batch["rgbs"])
+        beta_active = jnp.asarray(0.0)
+    elif scfg.variant == "snerf":
+        rgb_loss, rgb_dict = losses.snerf_loss(
+            results, batch["rgbs"], scfg.sc_lambda, sc_on
+        )
+        beta_active = jnp.asarray(0.0)
+    else:
+        beta_active = (epoch >= scfg.first_beta_epoch).astype(jnp.float32)
+        l_beta, d_beta = losses.satnerf_loss(
+            results, batch["rgbs"], scfg.sc_lambda, sc_on
+        )
+        l_plain, d_plain = losses.snerf_loss(
+            results, batch["rgbs"], scfg.sc_lambda, sc_on
+        )
+        rgb_loss = beta_active * l_beta + (1.0 - beta_active) * l_plain
+        rgb_dict = {
+            "coarse_color": beta_active * d_beta["coarse_color"]
+            + (1.0 - beta_active) * d_plain["coarse_color"],
+            "coarse_logbeta": beta_active * d_beta["coarse_logbeta"],
+        }
+        if sc_on:
+            rgb_dict["coarse_sc_term2"] = d_beta["coarse_sc_term2"]
+            rgb_dict["coarse_sc_term3"] = d_beta["coarse_sc_term3"]
+        loss_dict["beta_loss_activated"] = beta_active
+    loss = rgb_loss
+    loss_dict.update(rgb_dict)
+
+    # -- depth supervision (ref: training_step.py:29-54) ------------------
+    if scfg.depth:
+        depth_rcfg = replace(scfg.render, solar_correction=False, perturb=scfg.render.perturb)
+        d_results = render_rays(
+            params, depth_rcfg, batch["depth_rays"], batch["depth_extras"], key=k_depth
+        )
+        kp_w = 1.0 if scfg.ds_noweights else batch["depth_weights"].reshape(-1)
+        d_loss, d_dict = losses.depth_loss(
+            d_results, batch["depth_depths"].reshape(-1), kp_w, scfg.ds_lambda
+        )
+        loss = loss + d_loss
+        loss_dict.update(d_dict)
+        loss_dict["depth_loss_activated"] = jnp.asarray(1.0)
+
+    # -- semantic losses (ref: semantic/components/training_step.py:56-92) -
+    if scfg.semantic:
+        sem = batch["semantic"]
+        sem_mask = batch.get("semantic_sparsity_mask")
+        l_plain_s, d_plain_s = losses.semantic_loss(
+            results, sem, sem_mask, scfg.lambda_s, scfg.car_index,
+            scfg.ignore_car_index,
+        )
+        if scfg.use_beta_for_s:
+            l_unc_s, d_unc_s = losses.semantic_uncertainty_loss(
+                results, sem, sem_mask, scfg.lambda_s, scfg.car_index,
+                scfg.ignore_car_index, scfg.detach_beta_for_s,
+            )
+            sem_loss = beta_active * l_unc_s + (1.0 - beta_active) * l_plain_s
+            sem_ce = (
+                beta_active * d_unc_s["coarse_semantic"]
+                + (1.0 - beta_active) * d_plain_s["coarse_semantic"]
+            )
+            loss_dict["coarse_semantic"] = sem_ce
+            if "coarse_semantic_logbeta" in d_unc_s:
+                loss_dict["coarse_semantic_logbeta"] = (
+                    beta_active * d_unc_s["coarse_semantic_logbeta"]
+                )
+            loss_dict["semantic_beta_loss_activated"] = beta_active
+        else:
+            sem_loss = l_plain_s
+            loss_dict.update(d_plain_s)
+            loss_dict["semantic_beta_loss_activated"] = jnp.asarray(0.0)
+        loss = loss + sem_loss
+
+        if scfg.use_car_reg_loss:
+            car_active = (epoch >= scfg.car_reg_loss_start).astype(jnp.float32)
+            l_car, d_car = losses.semantic_car_reg_loss(
+                results, sem, sem_mask, scfg.lambda_c, scfg.car_index
+            )
+            loss = loss + car_active * l_car
+            loss_dict["coarse_car_reg_loss"] = car_active * d_car["coarse_car_reg_loss"]
+            loss_dict["car_reg_loss_activated"] = car_active
+
+        # step-level semantic accuracy (ref: training_step.py:94-97)
+        pred = results["semantic_label"]
+        loss_dict["semantic_accuracy"] = jnp.mean(
+            (pred == sem.reshape(-1).astype(pred.dtype)).astype(jnp.float32)
+        )
+
+    loss_dict["psnr"] = losses.psnr(results["rgb"], batch["rgbs"])
+    return loss, loss_dict, results
+
+
+def build_train_step(scfg: StepConfig, optimizer: optax.GradientTransformation):
+    """Returns jittable ``train_step(state, batch, key) -> (state, metrics)``."""
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        def loss_fn(params):
+            loss, loss_dict, _ = compute_losses(
+                scfg, params, batch, state.step, key
+            )
+            return loss, loss_dict
+
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **loss_dict}
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def step_config_from_main(
+    cfg,
+    steps_per_epoch: int,
+    with_depth: bool | None = None,
+    n_classes: int = 5,
+    car_index: int = -1,
+):
+    """Derive (render cfg, step cfg) from a MainConfig.
+
+    ``with_depth=None`` auto-selects from pipeline.depth_enabled; the training
+    loop builds both variants and switches at the drop boundary.
+    ``n_classes``/``car_index`` come from the semantic dataset's label map
+    (ref: semantic/dataset/semantic_dataset.py:36-44).
+    """
+    from satnerf_tpu.models.field import FieldConfig
+
+    p = cfg.pipeline
+    fcfg = FieldConfig(
+        variant=p.variant,
+        layers=p.fc_layers,
+        feat=p.fc_units,
+        skips=tuple(p.fc_skips),
+        siren=p.activation_function == "siren",
+        mapping=p.use_mapping,
+        mapping_pos_n_freq=p.mapping_pos_n_freq,
+        mapping_dir_n_freq=p.mapping_dir_n_freq,
+        fc_use_full_features=p.fc_use_full_features,
+        t_embedding_tau=getattr(p, "t_embedding_tau", 4),
+        n_classes=n_classes,
+        semantic_sigmoid=getattr(p, "semantic_activation_function", "sigmoid")
+        == "sigmoid",
+        use_tj_for_s=getattr(p, "use_tj_for_s", False),
+        use_tj_instead_of_beta=getattr(p, "use_tj_instead_of_beta", False),
+        use_separate_beta_for_s=getattr(p, "use_separate_beta_for_s", False),
+        use_separate_tj_for_semantic=getattr(
+            p, "use_separate_tj_for_semantic", False
+        ),
+    )
+    rcfg = RenderConfig(
+        field=fcfg,
+        n_samples=p.n_samples,
+        solar_correction=getattr(p, "sc_lambda", 0.0) > 0,
+        compute_dtype=getattr(p, "compute_dtype", "float32"),
+    )
+    depth = getattr(p, "depth_enabled", False) if with_depth is None else with_depth
+    return StepConfig(
+        render=rcfg,
+        steps_per_epoch=steps_per_epoch,
+        sc_lambda=getattr(p, "sc_lambda", 0.0),
+        first_beta_epoch=getattr(p, "first_beta_epoch", 2),
+        depth=depth,
+        ds_lambda=getattr(p, "ds_lambda", 1000.0),
+        ds_noweights=getattr(p, "ds_noweights", False),
+        semantic=p.variant == "rs_semantic",
+        lambda_s=getattr(p, "lambda_s", 0.04),
+        car_index=car_index,
+        ignore_car_index=getattr(p, "ignore_car_index", True),
+        use_beta_for_s=getattr(p, "use_beta_for_s", False),
+        detach_beta_for_s=getattr(p, "detach_beta_for_s", False),
+        use_car_reg_loss=getattr(p, "use_car_reg_loss", False),
+        car_reg_loss_start=getattr(p, "car_reg_loss_start", 3),
+        lambda_c=getattr(p, "lambda_c", 0.1),
+    )

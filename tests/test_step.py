@@ -1,0 +1,129 @@
+"""Train-step tests: optimization makes progress, gates flip with epochs,
+depth/no-depth step variants share state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satnerf_tpu.models.field import FieldConfig
+from satnerf_tpu.render.renderer import RenderConfig
+from satnerf_tpu.train.state import TrainState, create_train_state, make_optimizer
+from satnerf_tpu.train.step import StepConfig, build_train_step
+
+
+def _batch(b=64, s=8, n_classes=5, depth=False, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.5, 0.5, (b, 3)).astype(np.float32)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (b, 1))
+    rays = np.concatenate(
+        [o, d, np.zeros((b, 1), np.float32), np.ones((b, 1), np.float32)], 1
+    )
+    sun = np.tile(np.array([[0.3, 0.3, 0.9]], np.float32), (b, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    extras = np.concatenate(
+        [sun, (rng.integers(0, 4, b)).astype(np.float32)[:, None]], 1
+    )
+    batch = {
+        "rays": jnp.asarray(rays),
+        "extras": jnp.asarray(extras),
+        "rgbs": jnp.asarray(rng.uniform(0.2, 0.8, (b, 3)).astype(np.float32)),
+        "semantic": jnp.asarray(rng.integers(0, n_classes, (b, 1))),
+        "semantic_sparsity_mask": jnp.ones(b, dtype=bool),
+    }
+    if depth:
+        batch.update(
+            {
+                "depth_rays": batch["rays"][: b // 2],
+                "depth_extras": batch["extras"][: b // 2],
+                "depth_depths": jnp.full((b // 2,), 0.5, jnp.float32),
+                "depth_weights": jnp.ones((b // 2,), jnp.float32),
+            }
+        )
+    return batch
+
+
+def _scfg(variant="rs_semantic", depth=False, steps_per_epoch=4, **over):
+    fcfg = FieldConfig(
+        variant=variant, layers=2, feat=64, skips=(1,),
+        mapping=(variant in ("nerf", "rs_semantic")),
+        siren=(variant != "nerf"),
+    )
+    rcfg = RenderConfig(field=fcfg, n_samples=8, solar_correction=variant != "nerf")
+    kw = dict(
+        render=rcfg, steps_per_epoch=steps_per_epoch, depth=depth,
+        semantic=variant == "rs_semantic", car_index=4,
+        use_car_reg_loss=variant == "rs_semantic", car_reg_loss_start=2,
+        use_beta_for_s=True, sc_lambda=0.05 if variant != "nerf" else 0.0,
+        first_beta_epoch=1,
+    )
+    kw.update(over)
+    return StepConfig(**kw)
+
+
+def test_loss_decreases_satnerf():
+    scfg = _scfg("satnerf", depth=True)
+    opt = make_optimizer(5e-3, steps_per_epoch=scfg.steps_per_epoch)
+    state = create_train_state(jax.random.PRNGKey(0), scfg.render.field, opt)
+    step = jax.jit(build_train_step(scfg, opt))
+    batch = _batch(depth=True)
+
+    first = None
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if i == 0:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+    assert int(state.step) == 30
+
+
+def test_gates_flip_with_epoch():
+    scfg = _scfg("rs_semantic", steps_per_epoch=5)
+    opt = make_optimizer(1e-3, steps_per_epoch=5)
+    state = create_train_state(jax.random.PRNGKey(1), scfg.render.field, opt)
+    step = jax.jit(build_train_step(scfg, opt))
+    batch = _batch()
+
+    seen = {}
+    for i in range(12):
+        epoch = int(state.step) // 5
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        seen[epoch] = {
+            "beta": float(metrics["beta_loss_activated"]),
+            "car": float(metrics["car_reg_loss_activated"]),
+            "sem_beta": float(metrics["semantic_beta_loss_activated"]),
+        }
+    # first_beta_epoch=1, car_reg_loss_start=2
+    assert seen[0] == {"beta": 0.0, "car": 0.0, "sem_beta": 0.0}
+    assert seen[1]["beta"] == 1.0 and seen[1]["car"] == 0.0
+    assert seen[2]["car"] == 1.0 and seen[2]["sem_beta"] == 1.0
+
+
+def test_depth_switch_shares_state():
+    """The no-depth step continues from state produced by the depth step."""
+    opt = make_optimizer(1e-3, steps_per_epoch=4)
+    scfg_d = _scfg("satnerf", depth=True)
+    scfg_nd = _scfg("satnerf", depth=False)
+    state = create_train_state(jax.random.PRNGKey(2), scfg_d.render.field, opt)
+    step_d = jax.jit(build_train_step(scfg_d, opt))
+    step_nd = jax.jit(build_train_step(scfg_nd, opt))
+    batch = _batch(depth=True)
+
+    state, m1 = step_d(state, batch, jax.random.PRNGKey(0))
+    assert "coarse_ds" in m1
+    nd_batch = {k: v for k, v in batch.items() if not k.startswith("depth")}
+    state, m2 = step_nd(state, nd_batch, jax.random.PRNGKey(1))
+    assert "coarse_ds" not in m2
+    assert int(state.step) == 2
+
+
+def test_all_variants_one_step():
+    for variant in ("nerf", "snerf", "satnerf", "rs_semantic"):
+        scfg = _scfg(variant)
+        opt = make_optimizer(1e-3, steps_per_epoch=4)
+        state = create_train_state(jax.random.PRNGKey(3), scfg.render.field, opt)
+        step = jax.jit(build_train_step(scfg, opt))
+        state, metrics = step(state, _batch(), jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"])), variant
+        assert np.isfinite(float(metrics["psnr"])), variant
