@@ -1,0 +1,111 @@
+"""GeoTIFF IO tests: round trips across dtypes/compression, geo + RPC tags,
+and interop with PIL-written TIFFs."""
+
+import numpy as np
+import pytest
+
+from satnerf_tpu.geo import RPCModel
+from satnerf_tpu.io import GeoProfile, read_geotiff, write_geotiff
+from satnerf_tpu.io.image import load_cls_tensor, load_rgb_tensor, save_output_image
+from satnerf_tpu.io.tiff import epsg_for_utm
+
+
+@pytest.mark.parametrize("dtype,count,compress", [
+    ("uint8", 3, True),
+    ("uint8", 1, False),
+    ("float32", 1, True),
+    ("float64", 1, False),
+    ("uint16", 4, True),
+    ("int16", 1, True),
+])
+def test_roundtrip(tmp_path, dtype, count, compress):
+    rng = np.random.default_rng(0)
+    if dtype.startswith("float"):
+        arr = rng.normal(size=(count, 21, 33)).astype(dtype)
+    else:
+        arr = rng.integers(0, 200, (count, 21, 33)).astype(dtype)
+    fp = str(tmp_path / "x.tif")
+    profile = GeoProfile(width=33, height=21, count=count, dtype=dtype)
+    write_geotiff(fp, arr, profile, compress=compress)
+    back, prof = read_geotiff(fp)
+    np.testing.assert_array_equal(back, arr)
+    assert prof.dtype == dtype and prof.count == count
+
+
+def test_geo_tags_roundtrip(tmp_path):
+    arr = np.zeros((1, 10, 12), np.float32)
+    profile = GeoProfile(
+        width=12, height=10, count=1, dtype="float32",
+        transform=(0.5, 0.5, 435000.0, 3354000.0),
+        epsg=epsg_for_utm("17R"), nodata=float("nan"),
+    )
+    fp = str(tmp_path / "dsm.tif")
+    write_geotiff(fp, arr, profile)
+    _, prof = read_geotiff(fp)
+    assert prof.transform == (0.5, 0.5, 435000.0, 3354000.0)
+    assert prof.epsg == 32617
+    assert np.isnan(prof.nodata)
+    # pixel <-> utm mapping
+    x, y = prof.pixel_to_xy(4, 2)
+    assert (x, y) == (435002.0, 3353999.0)
+    c, r = prof.xy_to_pixel(x, y)
+    assert (c, r) == (4.0, 2.0)
+
+
+def test_rpc_tag_roundtrip(tmp_path):
+    rpc = RPCModel(
+        row_offset=100, col_offset=100, lat_offset=30.3, lon_offset=-81.6,
+        alt_offset=20, row_scale=100, col_scale=100, lat_scale=0.01,
+        lon_scale=0.01, alt_scale=80,
+    )
+    rpc.col_num[1] = 1.0
+    rpc.row_num[2] = -1.0
+    arr = np.zeros((3, 6, 6), np.uint8)
+    fp = str(tmp_path / "rpc.tif")
+    write_geotiff(fp, arr, GeoProfile(6, 6, 3, "uint8", rpc=rpc))
+    _, prof = read_geotiff(fp)
+    assert prof.rpc is not None
+    np.testing.assert_allclose(prof.rpc.col_num, rpc.col_num)
+    assert prof.rpc.lat_offset == 30.3
+
+
+def test_pil_interop(tmp_path):
+    """Read a TIFF written by PIL (uncompressed path, foreign producer)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (17, 23, 3)).astype(np.uint8)
+    fp = str(tmp_path / "pil.tif")
+    Image.fromarray(img).save(fp, compression=None)
+    arr, prof = read_geotiff(fp)
+    np.testing.assert_array_equal(np.moveaxis(arr, 0, -1), img)
+
+    # and PIL can read ours back
+    fp2 = str(tmp_path / "ours.tif")
+    write_geotiff(fp2, np.moveaxis(img, -1, 0), GeoProfile(23, 17, 3, "uint8"))
+    back = np.asarray(Image.open(fp2))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_image_helpers(tmp_path):
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 255, (3, 9, 11)).astype(np.uint8)
+    fp = str(tmp_path / "img_RGB.tif")
+    write_geotiff(fp, rgb, GeoProfile(11, 9, 3, "uint8"))
+    flat = load_rgb_tensor(fp)
+    assert flat.shape == (99, 3)
+    assert flat.max() <= 1.0
+
+    cls = rng.integers(0, 5, (1, 9, 11)).astype(np.uint8)
+    fp2 = str(tmp_path / "img_CLS.tif")
+    write_geotiff(fp2, cls, GeoProfile(11, 9, 1, "uint8"))
+    labels = load_cls_tensor(fp2)
+    assert labels.shape == (99, 1)
+    np.testing.assert_array_equal(labels[:, 0], cls[0].reshape(-1))
+
+    # save with copied tags
+    pred = rng.normal(size=(9, 11)).astype(np.float32)
+    out = str(tmp_path / "pred.tif")
+    save_output_image(pred, out, source_fp=fp)
+    arr, _ = read_geotiff(out)
+    np.testing.assert_allclose(arr[0], pred)
