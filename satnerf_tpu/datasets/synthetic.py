@@ -296,16 +296,19 @@ def generate_scene(
 
     np.save(os.path.join(out_dp, "pts3d.npy"), tp_ecef)
 
-    # GT DSM over the scene in UTM
-    dsm_size = img_size
+    # GT DSM over the scene in UTM (0.5 m like the DFC2019 lidar rasters,
+    # so the reference's equal-resolution MAE crop semantics hold)
+    dsm_res = 0.5
+    dsm_size = int(extent / dsm_res)
     gx, gy = np.meshgrid(
-        (np.arange(dsm_size) + 0.5) * res, extent - (np.arange(dsm_size) + 0.5) * res
+        (np.arange(dsm_size) + 0.5) * dsm_res,
+        extent - (np.arange(dsm_size) + 0.5) * dsm_res,
     )
     dsm = scene.height(gx, gy).astype(np.float32)
     dsm_cls = scene.classes(gx, gy)
     water_mask = np.where(dsm_cls == 1, 9, 0).astype(np.uint8)  # DFC2019: water==9
 
-    transform = (res, res, easting0, northing0 + extent)
+    transform = (dsm_res, dsm_res, easting0, northing0 + extent)
     epsg = epsg_for_utm(zone_string)
     write_geotiff(
         os.path.join(out_dp, f"{aoi_name}_DSM.tif"),
@@ -321,7 +324,7 @@ def generate_scene(
     # DSM metadata txt: xoff yoff(size lower-left) size resolution
     # (ref: eval/utils/dsm.py:121-127 conventions)
     with open(os.path.join(out_dp, f"{aoi_name}_DSM.txt"), "w") as f:
-        f.write(f"{easting0}\n{northing0}\n{dsm_size}\n{res}\n")
+        f.write(f"{easting0}\n{northing0}\n{dsm_size}\n{dsm_res}\n")
 
     root = {
         "aoi_name": aoi_name,

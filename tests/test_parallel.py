@@ -1,0 +1,71 @@
+"""Multi-chip (virtual 8-device CPU mesh) tests: sharded train step equals
+the single-device step, and the gradient psum happens implicitly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satnerf_tpu.models.field import FieldConfig
+from satnerf_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from satnerf_tpu.render.renderer import RenderConfig
+from satnerf_tpu.train.state import create_train_state, make_optimizer
+from satnerf_tpu.train.step import StepConfig, build_train_step
+
+
+def _setup(b=64):
+    fcfg = FieldConfig(variant="satnerf", layers=2, feat=64, skips=(1,))
+    rcfg = RenderConfig(field=fcfg, n_samples=8)
+    scfg = StepConfig(render=rcfg, steps_per_epoch=4, sc_lambda=0.05)
+    opt = make_optimizer(1e-3, steps_per_epoch=4)
+    state = create_train_state(jax.random.PRNGKey(0), fcfg, opt)
+    rng = np.random.default_rng(0)
+    o = rng.uniform(-0.5, 0.5, (b, 3)).astype(np.float32)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (b, 1))
+    batch = {
+        "rays": np.concatenate(
+            [o, d, np.zeros((b, 1), np.float32), np.ones((b, 1), np.float32)], 1
+        ),
+        "extras": np.concatenate(
+            [np.tile([[0.3, 0.3, 0.9]], (b, 1)).astype(np.float32),
+             rng.integers(0, 4, (b, 1)).astype(np.float32)], 1
+        ),
+        "rgbs": rng.uniform(0, 1, (b, 3)).astype(np.float32),
+    }
+    return scfg, opt, state, batch
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device():
+    scfg, opt, state, batch = _setup()
+    step = build_train_step(scfg, opt)
+
+    # single device
+    s1, m1 = jax.jit(step)(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                           jax.random.PRNGKey(7))
+
+    # 8-device data-parallel
+    mesh = make_mesh(8)
+    sharded = shard_train_step(step, mesh)
+    s8, m8 = sharded(state, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(
+        float(m8["loss"]), float(m1["loss"]), rtol=2e-5
+    )
+    # updated parameters identical across layouts
+    w1 = np.asarray(s1.params["field"]["trunk"][0]["w"])
+    w8 = np.asarray(s8.params["field"]["trunk"][0]["w"])
+    np.testing.assert_allclose(w8, w1, atol=1e-6)
+
+
+def test_sharded_steps_run_consecutively():
+    scfg, opt, state, batch = _setup()
+    mesh = make_mesh(8)
+    step = shard_train_step(build_train_step(scfg, opt), mesh)
+    sb = shard_batch(batch, mesh)
+    for i in range(3):
+        state, metrics = step(state, sb, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 3
