@@ -1,0 +1,291 @@
+"""Training loop: the explicit replacement for Lightning's Trainer.fit.
+
+ref flow: framework/pipelines.py:238-338 (run_pipeline) +
+baseline/pipelines/base_ray_pipeline.py:56-193 (train/validation steps).
+
+Structure per run:
+* the combined ray store moves to device HBM once; each step is one jitted
+  program gathering its batch by permutation indices (no per-step host
+  tensors besides a ~4 KB index slice);
+* metrics are fetched every ``log_every`` steps to keep the device pipeline
+  deep (the reference logs through Lightning every step);
+* validation per epoch renders the full test images through fixed-shape
+  chunks, computes PSNR/SSIM, builds DSMs for the first two images and logs
+  the NCC-registered altitude MAE; best train/mae drives checkpointing;
+* the depth-supervision drop boundary switches to a step program without the
+  depth forward (the reference keeps paying for it, gated to zero).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satnerf_tpu.eval import metrics as image_metrics
+from satnerf_tpu.eval.dsm import compute_dsm_and_mae
+from satnerf_tpu.logger import logger
+from satnerf_tpu.parallel import make_mesh, replicated_sharding
+from satnerf_tpu.render.renderer import render_image_chunked
+from satnerf_tpu.train import losses as loss_lib
+from satnerf_tpu.train.checkpoint import CheckpointManager
+from satnerf_tpu.train.data import (
+    DEPTH_KEYS,
+    EpochSampler,
+    TRAIN_KEYS,
+    device_store,
+    gather_batch,
+)
+from satnerf_tpu.train.state import create_train_state, make_optimizer
+from satnerf_tpu.train.step import build_train_step
+
+
+def _make_step_fn(scfg, optimizer, with_depth: bool):
+    """jitted (state, store, depth_store, idx, depth_idx, key) -> ..."""
+    base = build_train_step(scfg, optimizer)
+
+    def fn(state, store, depth_store, idx, depth_idx, key):
+        batch = gather_batch(store, idx)
+        if with_depth:
+            d = gather_batch(depth_store, depth_idx, prefix="depth_")
+            batch.update(d)
+        return base(state, batch, key)
+
+    return jax.jit(fn, static_argnames=())
+
+
+class Trainer:
+    def __init__(self, pipeline, writer=None, log_every: int = 100) -> None:
+        self.pipeline = pipeline
+        self.cfg = pipeline.cfg
+        self.log_every = log_every
+        self.writer = writer
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def fit(self, max_steps: int | None = None, validate_every_epoch: bool = True):
+        cfg = self.cfg
+        pipeline = self.pipeline
+        if not pipeline.loaded:
+            pipeline.load_datasets()
+        run_dp = cfg.run.run_dp or pipeline.prepare_run()
+
+        if self.writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(run_dp, "tb"))
+            except ImportError:  # pragma: no cover
+                self.writer = None
+
+        max_steps = max_steps or cfg.run.max_train_steps
+        rgb = pipeline.datasets["rgb"]
+        batch_size = cfg.pipeline.batch_size
+        subsample = (
+            cfg.pipeline.epoch_subsampling
+            if cfg.pipeline.epoch_subsampling_activated
+            else None
+        )
+        sampler = EpochSampler(
+            len(rgb), batch_size, shuffle=cfg.run.shuffle_dataset,
+            seed=cfg.run.seed, subsample=subsample,
+        )
+        steps_per_epoch = sampler.steps_per_epoch
+        num_epochs = max(max_steps // steps_per_epoch, 1)
+
+        optimizer = make_optimizer(
+            cfg.pipeline.learnrate, cfg.pipeline.lr_scheduler,
+            steps_per_epoch, num_epochs,
+        )
+
+        # step configs: with + without depth (switch at the drop boundary)
+        has_depth = "depth" in pipeline.datasets
+        scfg_nd = pipeline.step_config(steps_per_epoch, with_depth=False)
+        scfg_d = (
+            pipeline.step_config(steps_per_epoch, with_depth=True)
+            if has_depth
+            else None
+        )
+        ds_drop = pipeline.ds_drop_step if has_depth else 0
+        if has_depth:
+            logger.info(
+                "Depth", f"depth supervision active until step {ds_drop}"
+            )
+
+        fcfg = scfg_nd.render.field
+        key = jax.random.PRNGKey(cfg.run.seed)
+        key, init_key = jax.random.split(key)
+        state = create_train_state(init_key, fcfg, optimizer, pipeline.t_vocab)
+
+        ckpt = CheckpointManager(run_dp, cfg.run.save_every_n_epochs)
+        if cfg.run.resume_from_ckpoint:
+            state = ckpt.restore(state, name="last")
+
+        # device placement (replicated across the data mesh when DP > 1)
+        mesh = None
+        if cfg.run.data_parallel > 1:
+            mesh = make_mesh(cfg.run.data_parallel)
+            repl = replicated_sharding(mesh)
+            store = device_store(rgb.combined, TRAIN_KEYS, sharding=repl)
+            state = jax.device_put(state, repl)
+        else:
+            store = device_store(rgb.combined, TRAIN_KEYS)
+
+        depth_store = None
+        depth_sampler = None
+        if has_depth:
+            dcomb = pipeline.datasets["depth"].combined
+            depth_store = device_store(
+                {"rays": dcomb["rays"], "extras": dcomb["extras"],
+                 "depths": dcomb["depths"], "weights": dcomb["weights"]},
+                DEPTH_KEYS,
+                sharding=replicated_sharding(mesh) if mesh else None,
+            )
+            # the BA tie-point set can be smaller than a ray batch; clamp the
+            # depth batch to the dataset size (fixed jit shape either way)
+            depth_batch = min(batch_size, int(dcomb["rays"].shape[0]))
+            depth_sampler = EpochSampler(
+                dcomb["rays"].shape[0], depth_batch, seed=cfg.run.seed + 1
+            )
+
+        step_d = _make_step_fn(scfg_d, optimizer, True) if has_depth else None
+        step_nd = _make_step_fn(scfg_nd, optimizer, False)
+
+        # sanity validation (ref: num_sanity_val_steps=1)
+        if cfg.run.num_sanity_val_steps > 0 and validate_every_epoch:
+            self.validate(state, scfg_nd, epoch=0, display_epoch=0, sanity=True)
+
+        dummy_didx = np.zeros(
+            depth_sampler.batch_size if depth_sampler else 1, np.int32
+        )
+        pending: list[tuple[int, dict]] = []
+        t_last = time.time()
+        start_step = int(state.step)
+
+        while int(state.step) < max_steps:
+            step_i = int(state.step)
+            idx = jnp.asarray(sampler.next_batch())
+            use_depth = has_depth and step_i < ds_drop
+            didx = (
+                jnp.asarray(depth_sampler.next_batch())
+                if use_depth
+                else jnp.asarray(dummy_didx)
+            )
+            key, sub = jax.random.split(key)
+            fn = step_d if use_depth else step_nd
+            state, metrics = fn(state, store, depth_store, idx, didx, sub)
+            pending.append((step_i, metrics))
+
+            if (step_i + 1) % self.log_every == 0 or step_i + 1 >= max_steps:
+                now = time.time()
+                rate = self.log_every / max(now - t_last, 1e-9)
+                t_last = now
+                fetched = jax.device_get(pending[-1][1])
+                self._log_train(step_i + 1, fetched, rate, batch_size)
+                pending.clear()
+
+            # epoch boundary -> validation + checkpoints
+            new_epoch = (step_i + 1) // steps_per_epoch
+            at_boundary = (step_i + 1) % steps_per_epoch == 0
+            if at_boundary and validate_every_epoch and (
+                new_epoch % cfg.run.check_val_every_n_epoch == 0
+                or step_i + 1 >= max_steps
+            ):
+                val = self.validate(
+                    state, scfg_nd, epoch=new_epoch - 1, display_epoch=new_epoch
+                )
+                mae = val.get("train/mae")
+                if mae is not None:
+                    ckpt.maybe_save_best(state, mae)
+                ckpt.maybe_save_epoch(state, new_epoch)
+                ckpt.save_last(state)
+
+        ckpt.save_last(state)
+        logger.info(
+            "Run",
+            f"finished at step {int(state.step)} "
+            f"({int(state.step) - start_step} steps this session)",
+        )
+        return state
+
+    # ------------------------------------------------------------------
+    def _log_train(self, step: int, metrics: dict, rate: float, batch_size: int):
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(f"train/{k}", float(v), step)
+            self.writer.add_scalar("train/steps_per_sec", rate, step)
+            self.writer.add_scalar("train/rays_per_sec", rate * batch_size, step)
+        logger.debug_every_n(
+            "Train",
+            f"step {step}: loss={float(metrics['loss']):.4f} "
+            f"psnr={float(metrics['psnr']):.2f} {rate:.1f} it/s",
+            n=1,
+        )
+        self.history.append({"step": step, **{k: float(v) for k, v in metrics.items()}})
+
+    # ------------------------------------------------------------------
+    def validate(self, state, scfg, epoch: int, display_epoch: int, sanity=False):
+        """Full-image validation over the rgb_test split
+        (ref: base_ray_pipeline.py:101-193)."""
+        pipeline = self.pipeline
+        cfg = self.cfg
+        rcfg = scfg.render
+        rgb_test = pipeline.datasets["rgb_test"]
+        params = jax.device_get(state.params)
+        out: dict = {}
+        chunk = max(
+            1024, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
+        )
+
+        for i in range(len(rgb_test.data)):
+            item = rgb_test.image_item(i)
+            split = item["split"]
+            res = render_image_chunked(
+                params, rcfg, item["rays"], item["extras"], chunk=chunk
+            )
+            h, w = item["h"], item["w"]
+            gt = item["rgbs"].reshape(h, w, 3)
+            pred = res["rgb"].reshape(h, w, 3)
+            psnr = float(image_metrics.psnr(jnp.asarray(pred), jnp.asarray(gt)))
+            ssim = float(image_metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
+
+            sample_idx = i - 1 if split == "test" else i
+            tag = f"{split}_{sample_idx}"
+            if self.writer is not None:
+                self.writer.add_scalar(f"{split}/ssim", ssim, display_epoch)
+                if split == "test":
+                    self.writer.add_scalar("test/psnr", psnr, display_epoch)
+                img_stack = np.concatenate([gt, pred], axis=1)
+                self.writer.add_image(
+                    f"val/{tag}", np.moveaxis(img_stack, -1, 0), display_epoch
+                )
+
+            if i <= 1 and not sanity:
+                output_dp = os.path.join(
+                    cfg.run.run_dp, "visualization", split, "dsm"
+                )
+                try:
+                    mae = compute_dsm_and_mae(
+                        rgb_test, item["rays"], res["depth"], output_dp,
+                        item["name"], epoch,
+                    )
+                    out[f"{split}/mae"] = float(mae["mean"])
+                    if self.writer is not None:
+                        self.writer.add_scalar(
+                            f"{split}/mae", float(mae["mean"]), display_epoch
+                        )
+                except Exception as exc:  # DSM failures must not kill training
+                    logger.warning("Validate", f"DSM/MAE failed: {exc}")
+
+            out[f"{split}/psnr_{sample_idx}"] = psnr
+            if split == "test":
+                out["test/psnr"] = psnr
+        logger.info(
+            "Validate",
+            f"epoch {display_epoch}: "
+            + " ".join(f"{k}={v:.3f}" for k, v in out.items()),
+        )
+        return out
