@@ -1,0 +1,87 @@
+"""Training-throughput benchmark on the real TPU chip.
+
+Measures rays/sec of the FULL flagship training step — RS-Semantic field
+(8x512 SIREN trunk + all heads), 64 samples/ray, solar-correction pass,
+depth supervision, all loss terms and the Adam update fused in one jit —
+i.e. the exact per-step work of the reference's paper configuration
+(configs/pipelines/rs_semantic.toml: batch_size=1024, n_samples=64).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference implementation's single-GPU
+step rate: the repo publishes no number (SURVEY.md §6), so we use 10 it/s x
+1024 rays = 10,240 rays/s, a generous estimate for PyTorch SatNeRF training
+on the V100/A100-class hardware the reference targets (the original SatNeRF
+reports ~10 h for 300k iterations => ~8.3 it/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 10_240.0
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _batch
+    from satnerf_tpu.models.field import FieldConfig
+    from satnerf_tpu.render.renderer import RenderConfig
+    from satnerf_tpu.train.state import create_train_state, make_optimizer
+    from satnerf_tpu.train.step import StepConfig, build_train_step
+
+    batch_size = 1024
+    depth_rays = 1024
+
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True, n_classes=5)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="bfloat16"
+    )
+    scfg = StepConfig(
+        render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,
+        depth=True, semantic=True, car_index=4, use_car_reg_loss=True,
+        car_reg_loss_start=0,
+    )
+    opt = make_optimizer(5e-4, steps_per_epoch=1000)
+    state = create_train_state(jax.random.PRNGKey(0), fcfg, opt, t_vocab=50)
+    step = jax.jit(build_train_step(scfg, opt), donate_argnums=(0,))
+
+    batch = _batch(batch_size, depth=depth_rays)
+    batch = jax.device_put(batch)
+
+    # warmup / compile
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    rays_per_sec = steps_per_sec * batch_size
+    assert np.isfinite(float(metrics["loss"]))
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
