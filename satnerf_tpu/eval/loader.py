@@ -1,0 +1,38 @@
+"""Load a trained run for offline evaluation.
+
+ref: framework/util/load_ckpoint.py:30-92 (load_from_disk) — rebuild the
+pipeline from the persisted configs, restore checkpointed parameters (by
+epoch snapshot, or best/last), and return everything eval scripts need.
+"""
+
+from __future__ import annotations
+
+import os
+
+import orbax.checkpoint as ocp
+
+from satnerf_tpu.configs import adapt_configs_for_inference, load_configs_from_logs
+from satnerf_tpu.logger import logger
+from satnerf_tpu.pipelines import load_pipeline
+from satnerf_tpu.train.checkpoint import find_ckpoint_fp
+
+
+def load_run(run_dp: str, epoch: int | None = None, load_datasets: bool = True):
+    """Returns (pipeline, params, rcfg, epoch_label)."""
+    cfgs = load_configs_from_logs(run_dp)
+    cfgs = adapt_configs_for_inference(cfgs)
+
+    ckpt_path = find_ckpoint_fp(run_dp, epoch if (epoch or 0) > 0 else None)
+    restored = ocp.PyTreeCheckpointer().restore(ckpt_path)
+    params = restored["params"]
+    step = int(restored.get("step", 0))
+    logger.info(
+        "Eval", f"restored {os.path.basename(ckpt_path)} (step {step}) from {run_dp}"
+    )
+
+    pipeline = load_pipeline(cfgs)
+    if load_datasets:
+        pipeline.load_datasets()
+
+    scfg = pipeline.step_config(steps_per_epoch=1, with_depth=False)
+    return pipeline, params, scfg.render, step

@@ -1,0 +1,108 @@
+"""Offline-eval battery test: train a tiny run, then run eval_nerf,
+eval_semantic, point-cloud extraction and gather through the CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+from satnerf_tpu.datasets.synthetic import generate_scene
+from satnerf_tpu.pipelines import load_pipeline
+from satnerf_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("evalcli")
+    scene = base / "datasets" / "SYN_EVAL"
+    generate_scene(str(scene), n_train=2, n_test=1, img_size=40, n_tie_points=80)
+    run = RunConfig(
+        dataset_name="SYN_EVAL",
+        datasets_dp=str(base / "datasets"),
+        cache_dp=str(base / "cache"),
+        workspace_dp=str(base / "training"),
+        max_train_steps=24,
+        num_sanity_val_steps=0,
+    )
+    pipe = RSSemanticConfig(
+        n_samples=8, fc_layers=2, fc_units=64, fc_skips=[1],
+        batch_size=256, render_chunk_size=4096, first_beta_epoch=1,
+        depth_enabled=True,
+    )
+    cfg = MainConfig(run, pipe)
+    pipeline = load_pipeline(cfg)
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+    Trainer(pipeline, log_every=50).fit()
+    return base, cfg.run.run_dp
+
+
+def test_eval_nerf_cli(trained_run):
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.eval_nerf import eval_nerf_training
+
+    out_dp = str(base / "evalout")
+    os.makedirs(out_dp, exist_ok=True)
+    eval_nerf_training(run_dp, out_dp, split="test", chunk=2048)
+
+    run_name = os.path.basename(run_dp)
+    results_fp = os.path.join(out_dp, run_name, "eval", "test", "results.json")
+    assert os.path.isfile(results_fp)
+    with open(results_fp) as f:
+        res = json.load(f)
+    assert "MAE (Mean)" in res and "PSNR (Mean)" in res and "SSIM (Mean)" in res
+    assert np.isfinite(float(res["MAE (Mean)"]))
+
+
+def test_eval_semantic_cli(trained_run):
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.eval_semantic import eval_semantic_nerfs
+
+    out_dp = str(base / "evalout")
+    os.makedirs(out_dp, exist_ok=True)
+    eval_semantic_nerfs(run_dp, out_dp, split="test", chunk=2048)
+
+    run_name = os.path.basename(run_dp)
+    d = os.path.join(out_dp, run_name, "eval_semantic", "test")
+    with open(os.path.join(d, "results.json")) as f:
+        res = json.load(f)
+    assert "Semantic Accuracy (Mean)" in res
+    assert "mIoU (Mean)" in res
+    assert 0.0 <= float(res["Semantic Accuracy (Mean)"]) <= 1.0
+    assert os.path.isfile(os.path.join(d, "mean.png"))  # split confusion matrix
+
+
+def test_pointcloud_cli(trained_run):
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.extract_pointcloud import (
+        create_dsm_pointcloud,
+        read_ply,
+    )
+
+    out_dp = str(base / "evalout")
+    create_dsm_pointcloud(
+        run_dp, out_dp, split="test", chunk=2048, filter_points=500
+    )
+    run_name = os.path.basename(run_dp)
+    pc_dp = os.path.join(out_dp, run_name, "pointclouds", "test")
+    files = os.listdir(pc_dp)
+    assert any(f.endswith("_filtered.ply") for f in files)
+    assert any(f.endswith("_normalized.ply") for f in files)
+    full = [f for f in files if f.endswith(".ply") and "filtered" not in f
+            and "normalized" not in f][0]
+    rec = read_ply(os.path.join(pc_dp, full))
+    assert rec.shape[0] == 40 * 40
+    # UTM eastings for Jacksonville are ~4xx,xxx
+    assert 300000 < rec["x"].mean() < 600000
+
+
+def test_gather_cli(trained_run):
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.gather_eval import gather
+
+    out_dp = str(base / "evalout")
+    report = gather(out_dp, os.path.join(out_dp, "gathered.txt"))
+    assert "PSNR" in report and "tabular" in report
+    assert os.path.isfile(os.path.join(out_dp, "gathered.txt"))
