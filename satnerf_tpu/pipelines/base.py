@@ -82,6 +82,18 @@ class Pipeline:
     def t_vocab(self) -> int:
         return getattr(self.cfg.pipeline, "t_embedding_vocab", 50)
 
+    # -- visualizers --------------------------------------------------------
+    def visualizers(self) -> list:
+        from satnerf_tpu.models.field import VARIANTS  # noqa: F401
+        from satnerf_tpu.viz import default_visualizers
+
+        return default_visualizers(
+            self.cfg,
+            semantic=self.VARIANT == "rs_semantic",
+            has_sun=self.VARIANT != "nerf",
+            has_beta=self.VARIANT in ("satnerf", "rs_semantic"),
+        )
+
     # -- step configs -------------------------------------------------------
     def step_config(self, steps_per_epoch: int, with_depth: bool | None = None):
         return step_config_from_main(

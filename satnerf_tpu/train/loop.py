@@ -230,11 +230,14 @@ class Trainer:
     def validate(self, state, scfg, epoch: int, display_epoch: int, sanity=False):
         """Full-image validation over the rgb_test split
         (ref: base_ray_pipeline.py:101-193)."""
+        from satnerf_tpu.viz.visualize import run_all
+
         pipeline = self.pipeline
         cfg = self.cfg
         rcfg = scfg.render
         rgb_test = pipeline.datasets["rgb_test"]
         params = jax.device_get(state.params)
+        visualizers = pipeline.visualizers() if not sanity else []
         out: dict = {}
         chunk = max(
             1024, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
@@ -253,6 +256,11 @@ class Trainer:
             ssim = float(image_metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
 
             sample_idx = i - 1 if split == "test" else i
+            run_all(
+                visualizers, rgb_test, item, res, writer=self.writer,
+                sample_idx=sample_idx, split=split, epoch=display_epoch,
+                run_dp=cfg.run.run_dp,
+            )
             tag = f"{split}_{sample_idx}"
             if self.writer is not None:
                 self.writer.add_scalar(f"{split}/ssim", ssim, display_epoch)
