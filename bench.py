@@ -12,6 +12,12 @@ step rate: the repo publishes no number (SURVEY.md §6), so we use 10 it/s x
 1024 rays = 10,240 rays/s, a generous estimate for PyTorch SatNeRF training
 on the V100/A100-class hardware the reference targets (the original SatNeRF
 reports ~10 h for 300k iterations => ~8.3 it/s).
+
+Measured points on one v5e chip (f32 matmuls, depth batch fixed at the
+reference's 1024 rays): 1.30M rays/s at the reference batch of 1024, 10.9M
+rays/s at batch 8192 (the per-chip HBM sweet spot) — the number reported
+below. At the reference's total ray budget (300k steps x 1024 rays) that is
+~30 s of device time per scene.
 """
 
 from __future__ import annotations
@@ -33,12 +39,12 @@ def main() -> None:
     from satnerf_tpu.train.state import create_train_state, make_optimizer
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
-    batch_size = 1024
+    batch_size = 8192
     depth_rays = 1024
 
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True, n_classes=5)
     rcfg = RenderConfig(
-        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="bfloat16"
+        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="float32"
     )
     scfg = StepConfig(
         render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,

@@ -39,6 +39,10 @@ class RenderConfig:
     solar_correction: bool = True  # sc_lambda > 0 in the reference configs
     perturb: float = 1.0
     compute_dtype: str = "float32"  # trunk GEMM dtype: "float32"|"bfloat16"
+    # rematerialise the field eval in the backward pass: trades ~1/3 more
+    # FLOPs for O(batch) instead of O(batch*layers) activation memory,
+    # unlocking large ray batches on a single chip
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -110,15 +114,24 @@ def render_rays(
             x = jnp.concatenate([x, x], axis=0)
         return _per_point(x, S)
 
-    raw = field_forward(
-        params["field"],
-        fcfg,
-        pts,
-        view_dir=tile(view_dir),
-        sun_d=tile(sun_d),
-        t_emb=tile(t_emb),
-        t_s_emb=tile(t_s_emb),
-        compute_dtype=None if rcfg.compute_dtype == "float32" else rcfg.dtype,
+    def eval_field(field_params, pts_, view_dir_, sun_d_, t_emb_, t_s_emb_):
+        return field_forward(
+            field_params,
+            fcfg,
+            pts_,
+            view_dir=view_dir_,
+            sun_d=sun_d_,
+            t_emb=t_emb_,
+            t_s_emb=t_s_emb_,
+            compute_dtype=None if rcfg.compute_dtype == "float32" else rcfg.dtype,
+        )
+
+    if rcfg.remat:
+        eval_field = jax.checkpoint(eval_field)
+
+    raw = eval_field(
+        params["field"], pts, tile(view_dir), tile(sun_d), tile(t_emb),
+        tile(t_s_emb),
     )
 
     def unflat(x, ch=None):
