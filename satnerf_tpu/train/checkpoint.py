@@ -70,6 +70,61 @@ class CheckpointManager:
         )
 
 
+def filter_params(params: dict, only_prefixes=None, ignore_prefixes=None) -> dict:
+    """Select a sub-pytree by '/'-joined path prefixes.
+
+    ref: framework/util/load_ckpoint.py:94-129 (extract_model_state_dict with
+    ignore_prefixes/only_use_prefixes) — used for partial weight transfer,
+    e.g. warm-starting a semantic run from a SatNeRF checkpoint while
+    dropping the semantic head.
+    """
+
+    def keep(path: str) -> bool:
+        if only_prefixes and not any(path.startswith(p) for p in only_prefixes):
+            return False
+        if ignore_prefixes and any(path.startswith(p) for p in ignore_prefixes):
+            return False
+        return True
+
+    def rec(node, path: str):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                sub = rec(v, f"{path}/{k}" if path else str(k))
+                if sub is not None:
+                    out[k] = sub
+            return out or None
+        if isinstance(node, (list, tuple)):
+            out_l = []
+            for i, v in enumerate(node):
+                sub = rec(v, f"{path}/{i}")
+                out_l.append(sub)
+            return out_l if any(s is not None for s in out_l) else None
+        return node if keep(path) else None
+
+    return rec(params, "") or {}
+
+
+def merge_params(target: dict, source: dict) -> dict:
+    """Overlay ``source`` leaves onto ``target`` (shapes must match where
+    present) — the load side of partial weight transfer."""
+
+    def rec(t, s):
+        if s is None:
+            return t
+        if isinstance(t, dict):
+            return {k: rec(t[k], s.get(k)) if isinstance(s, dict) else t[k]
+                    for k in t}
+        if isinstance(t, (list, tuple)):
+            s_list = s if isinstance(s, (list, tuple)) else [None] * len(t)
+            return [rec(tv, sv) for tv, sv in zip(t, s_list)]
+        if hasattr(s, "shape") and hasattr(t, "shape"):
+            assert s.shape == t.shape, f"shape mismatch {s.shape} vs {t.shape}"
+        return s if s is not None else t
+
+    return rec(target, source)
+
+
 def find_ckpoint_fp(run_dp: str, epoch: int | None = None) -> str:
     """Locate a checkpoint dir by epoch or fall back to last
     (ref: framework/util/load_ckpoint.py:12-27)."""

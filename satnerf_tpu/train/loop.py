@@ -39,6 +39,7 @@ from satnerf_tpu.train.data import (
     device_store,
     gather_batch,
 )
+from satnerf_tpu.train.profiling import PhaseProfiler, TraceCapture
 from satnerf_tpu.train.state import create_train_state, make_optimizer
 from satnerf_tpu.train.step import build_train_step
 
@@ -64,6 +65,8 @@ class Trainer:
         self.log_every = log_every
         self.writer = writer
         self.history: list[dict] = []
+        self.profiler = PhaseProfiler()
+        self.trace = TraceCapture()
 
     # ------------------------------------------------------------------
     def fit(self, max_steps: int | None = None, validate_every_epoch: bool = True):
@@ -176,7 +179,9 @@ class Trainer:
             )
             key, sub = jax.random.split(key)
             fn = step_d if use_depth else step_nd
-            state, metrics = fn(state, store, depth_store, idx, didx, sub)
+            self.trace.step(step_i)
+            with self.profiler.phase("train_step"):
+                state, metrics = fn(state, store, depth_store, idx, didx, sub)
             pending.append((step_i, metrics))
 
             if (step_i + 1) % self.log_every == 0 or step_i + 1 >= max_steps:
@@ -194,9 +199,10 @@ class Trainer:
                 new_epoch % cfg.run.check_val_every_n_epoch == 0
                 or step_i + 1 >= max_steps
             ):
-                val = self.validate(
-                    state, scfg_nd, epoch=new_epoch - 1, display_epoch=new_epoch
-                )
+                with self.profiler.phase("validate"):
+                    val = self.validate(
+                        state, scfg_nd, epoch=new_epoch - 1, display_epoch=new_epoch
+                    )
                 mae = val.get("train/mae")
                 if mae is not None:
                     ckpt.maybe_save_best(state, mae)
@@ -204,6 +210,8 @@ class Trainer:
                 ckpt.save_last(state)
 
         ckpt.save_last(state)
+        self.trace.close()
+        self.profiler.dump(os.path.join(run_dp, "profiler"))
         logger.info(
             "Run",
             f"finished at step {int(state.step)} "

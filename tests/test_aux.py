@@ -1,0 +1,126 @@
+"""Aux subsystem tests: phase profiler, checkpoint param filtering/merging,
+SSIM golden parity vs the reference torch implementation."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestPhaseProfiler:
+    def test_report_and_dump(self, tmp_path):
+        from satnerf_tpu.train.profiling import PhaseProfiler
+
+        p = PhaseProfiler()
+        with p.phase("a"):
+            pass
+        with p.phase("a"):
+            pass
+        with p.phase("b"):
+            pass
+        rep = p.report()
+        assert "a" in rep and "b" in rep
+        p.dump(str(tmp_path))
+        assert os.path.isfile(tmp_path / "profiler.txt")
+
+
+class TestParamFilters:
+    def _params(self):
+        from satnerf_tpu.models.field import FieldConfig
+        from satnerf_tpu.train.state import init_params
+
+        fcfg = FieldConfig(
+            variant="rs_semantic", layers=2, feat=32, skips=(1,), mapping=True
+        )
+        return init_params(jax.random.PRNGKey(0), fcfg, t_vocab=4), fcfg
+
+    def test_filter_only(self):
+        from satnerf_tpu.train.checkpoint import filter_params
+
+        params, _ = self._params()
+        sub = filter_params(params, only_prefixes=["field/trunk"])
+        assert set(sub) == {"field"}
+        assert set(sub["field"]) == {"trunk"}
+
+    def test_filter_ignore(self):
+        from satnerf_tpu.train.checkpoint import filter_params
+
+        params, _ = self._params()
+        sub = filter_params(params, ignore_prefixes=["field/semantic", "t"])
+        assert "t" not in sub
+        assert "semantic" not in sub["field"]
+        assert "trunk" in sub["field"]
+
+    def test_partial_warm_start(self):
+        """Warm-start rs_semantic from satnerf weights minus missing heads
+        (the reference's cross-pipeline reload use case)."""
+        from satnerf_tpu.models.field import FieldConfig
+        from satnerf_tpu.train.checkpoint import filter_params, merge_params
+        from satnerf_tpu.train.state import init_params
+
+        # donor must share trunk geometry (mapping=True like rs_semantic)
+        sat = init_params(
+            jax.random.PRNGKey(1),
+            FieldConfig(variant="satnerf", layers=2, feat=32, skips=(1,),
+                        mapping=True),
+            t_vocab=4,
+        )
+        sem_params, _ = self._params()
+        donor = filter_params(
+            sat, only_prefixes=["field/trunk", "field/sigma", "t"]
+        )
+        merged = merge_params(sem_params, donor)
+        np.testing.assert_array_equal(
+            np.asarray(merged["field"]["trunk"][0]["w"]),
+            np.asarray(sat["field"]["trunk"][0]["w"]),
+        )
+        # heads not in the donor keep their fresh init
+        np.testing.assert_array_equal(
+            np.asarray(merged["field"]["semantic"][0]["w"]),
+            np.asarray(sem_params["field"]["semantic"][0]["w"]),
+        )
+
+
+class TestSsimGolden:
+    def test_matches_torch_backend(self):
+        """Our jax SSIM vs an independent torch-conv implementation of the
+        identical formula (the reference's ssim_inria structure,
+        ref: eval/utils/metrics.py:31-68 — its module itself imports kornia,
+        which is absent here, so the formula is reproduced in-test)."""
+        import torch
+        import torch.nn.functional as F
+
+        from satnerf_tpu.eval.metrics import _gaussian_window, ssim
+
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.08, a.shape).astype(np.float32), 0, 1)
+        win_np = _gaussian_window(11, 1.5)
+
+        def torch_ssim(img1, img2, window_size=11):
+            c = img1.size(-3)
+            w = torch.from_numpy(win_np)[None, None].expand(c, 1, -1, -1)
+            mu1 = F.conv2d(img1, w, padding=window_size // 2, groups=c)
+            mu2 = F.conv2d(img2, w, padding=window_size // 2, groups=c)
+            mu1_sq, mu2_sq, mu12 = mu1**2, mu2**2, mu1 * mu2
+            s1 = F.conv2d(img1 * img1, w, padding=window_size // 2, groups=c) - mu1_sq
+            s2 = F.conv2d(img2 * img2, w, padding=window_size // 2, groups=c) - mu2_sq
+            s12 = F.conv2d(img1 * img2, w, padding=window_size // 2, groups=c) - mu12
+            c1, c2 = 0.01**2, 0.03**2
+            return (
+                ((2 * mu12 + c1) * (2 * s12 + c2))
+                / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+            ).mean()
+
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b), window_size=11))
+        ref = float(
+            torch_ssim(
+                torch.from_numpy(np.moveaxis(a, -1, 0))[None],
+                torch.from_numpy(np.moveaxis(b, -1, 0))[None],
+            )
+        )
+        assert abs(ours - ref) < 1e-5, (ours, ref)
