@@ -38,6 +38,14 @@ class RenderConfig:
     n_samples: int = 64
     solar_correction: bool = True  # sc_lambda > 0 in the reference configs
     perturb: float = 1.0
+    # hierarchical (fine) sampling. The reference scaffolds but never enables
+    # this (use_fine_network=false in every shipped config, ref:
+    # configs/pipelines/satnerf.toml:14); here it is fully functional:
+    # n_importance extra samples drawn by inverse-CDF from the coarse
+    # weights, evaluated by a separate fine field (use_fine_network) or by
+    # the coarse field itself.
+    n_importance: int = 0
+    use_fine_network: bool = False
     compute_dtype: str = "float32"  # trunk GEMM dtype: "float32"|"bfloat16"
     # rematerialise the field eval in the backward pass: trades ~1/3 more
     # FLOPs for O(batch) instead of O(batch*layers) activation memory,
@@ -77,11 +85,13 @@ def render_rays(
         raw per-sample weights/betas needed by the losses.
     """
     fcfg = rcfg.field
-    B = rays.shape[0]
     S = rcfg.n_samples
+    key_c = key_f = None
+    if key is not None:
+        key_c, key_f = jax.random.split(key)
 
     xyz, z_vals = sample_rays(
-        rays, S, key=key, perturb=rcfg.perturb if key is not None else 0.0,
+        rays, S, key=key_c, perturb=rcfg.perturb if key is not None else 0.0,
         given_z_vals=given_z_vals,
     )
 
@@ -94,6 +104,50 @@ def render_rays(
         t_emb = embedding_lookup(params["t"], ts)
         if "t_s" in params:
             t_s_emb = embedding_lookup(params["t_s"], ts)
+
+    result = _render_pass(
+        params["field"], rcfg, rays, xyz, z_vals, sun_d, view_dir, t_emb,
+        t_s_emb,
+    )
+
+    if rcfg.n_importance > 0:
+        # inverse-CDF samples from the coarse weights (ref scaffold:
+        # framework/components/rendering.py:8-55)
+        from satnerf_tpu.core.sampling import sample_pdf
+
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(
+            z_mid, jax.lax.stop_gradient(result["weights"][:, 1:-1]),
+            rcfg.n_importance, key=key_f, det=key_f is None,
+        )
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        origins = ray_component(rays, "origins")
+        dirs = ray_component(rays, "directions")
+        xyz_all = origins[:, None, :] + dirs[:, None, :] * z_all[..., None]
+        fine_params = (
+            params["fine"]
+            if rcfg.use_fine_network and "fine" in params
+            else params["field"]
+        )
+        fine = _render_pass(
+            fine_params, rcfg, rays, xyz_all, z_all, sun_d, view_dir, t_emb,
+            t_s_emb,
+        )
+        fine["coarse"] = result
+        return fine
+
+    return result
+
+
+def _render_pass(
+    field_params, rcfg: RenderConfig, rays, xyz, z_vals, sun_d, view_dir,
+    t_emb, t_s_emb,
+) -> dict:
+    """One field evaluation + compositing pass at the given sample depths
+    (with the solar-correction points folded into the same batch)."""
+    fcfg = rcfg.field
+    B = rays.shape[0]
+    S = z_vals.shape[-1]
 
     run_sc = rcfg.solar_correction and fcfg.has_sun
     if run_sc:
@@ -130,7 +184,7 @@ def render_rays(
         eval_field = jax.checkpoint(eval_field)
 
     raw = eval_field(
-        params["field"], pts, tile(view_dir), tile(sun_d), tile(t_emb),
+        field_params, pts, tile(view_dir), tile(sun_d), tile(t_emb),
         tile(t_s_emb),
     )
 

@@ -121,7 +121,10 @@ class Trainer:
         fcfg = scfg_nd.render.field
         key = jax.random.PRNGKey(cfg.run.seed)
         key, init_key = jax.random.split(key)
-        state = create_train_state(init_key, fcfg, optimizer, pipeline.t_vocab)
+        state = create_train_state(
+            init_key, fcfg, optimizer, pipeline.t_vocab,
+            use_fine_network=scfg_nd.render.use_fine_network,
+        )
 
         ckpt = CheckpointManager(run_dp, cfg.run.save_every_n_epochs)
         if cfg.run.resume_from_ckpoint:

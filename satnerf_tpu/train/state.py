@@ -39,13 +39,21 @@ def make_optimizer(
     return optax.inject_hyperparams(optax.adam)(learning_rate=sched)
 
 
-def init_params(key: jax.Array, fcfg: FieldConfig, t_vocab: int = 50) -> dict:
-    """Init the full model dict: field + transient embedding table(s).
+def init_params(
+    key: jax.Array,
+    fcfg: FieldConfig,
+    t_vocab: int = 50,
+    use_fine_network: bool = False,
+) -> dict:
+    """Init the full model dict: field + transient embedding table(s)
+    (+ an independent fine field for hierarchical sampling).
 
     ref: baseline/pipelines/satnerf.py:51-66 models dict {"coarse", "t"}.
     """
-    k_field, k_t, k_ts = jax.random.split(key, 3)
+    k_field, k_fine, k_t, k_ts = jax.random.split(key, 4)
     params = {"field": init_field_params(k_field, fcfg)}
+    if use_fine_network:
+        params["fine"] = init_field_params(k_fine, fcfg)
     if fcfg.has_beta:
         params["t"] = init_embedding(k_t, t_vocab, fcfg.t_embedding_tau)
         if fcfg.use_separate_tj_for_semantic:
@@ -58,8 +66,9 @@ def create_train_state(
     fcfg: FieldConfig,
     optimizer: optax.GradientTransformation,
     t_vocab: int = 50,
+    use_fine_network: bool = False,
 ) -> tuple[TrainState, optax.GradientTransformation]:
-    params = init_params(key, fcfg, t_vocab)
+    params = init_params(key, fcfg, t_vocab, use_fine_network)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),

@@ -75,35 +75,45 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
     loss_dict: dict = {}
 
     # -- RGB loss (beta-gated, ref: training_step.py:22-27) ---------------
+    # when hierarchical sampling is enabled, the fine pass is the primary
+    # result and the coarse pass is supervised too (ref loss modules add
+    # fine terms when present, loss.py:62-67)
     sc_on = scfg.sc_lambda > 0 and scfg.render.solar_correction
-    if scfg.variant == "nerf":
-        rgb_loss, rgb_dict = losses.nerf_loss(results, batch["rgbs"])
-        beta_active = jnp.asarray(0.0)
-    elif scfg.variant == "snerf":
-        rgb_loss, rgb_dict = losses.snerf_loss(
-            results, batch["rgbs"], scfg.sc_lambda, sc_on
-        )
-        beta_active = jnp.asarray(0.0)
-    else:
+    rgb_passes = [("", results)]
+    if "coarse" in results:
+        rgb_passes.append(("c_", results["coarse"]))
+
+    beta_active = jnp.asarray(0.0)
+    if scfg.variant not in ("nerf", "snerf"):
         beta_active = (epoch >= scfg.first_beta_epoch).astype(jnp.float32)
-        l_beta, d_beta = losses.satnerf_loss(
-            results, batch["rgbs"], scfg.sc_lambda, sc_on
-        )
-        l_plain, d_plain = losses.snerf_loss(
-            results, batch["rgbs"], scfg.sc_lambda, sc_on
-        )
-        rgb_loss = beta_active * l_beta + (1.0 - beta_active) * l_plain
-        rgb_dict = {
-            "coarse_color": beta_active * d_beta["coarse_color"]
-            + (1.0 - beta_active) * d_plain["coarse_color"],
-            "coarse_logbeta": beta_active * d_beta["coarse_logbeta"],
-        }
-        if sc_on:
-            rgb_dict["coarse_sc_term2"] = d_beta["coarse_sc_term2"]
-            rgb_dict["coarse_sc_term3"] = d_beta["coarse_sc_term3"]
         loss_dict["beta_loss_activated"] = beta_active
-    loss = rgb_loss
-    loss_dict.update(rgb_dict)
+
+    loss = jnp.asarray(0.0)
+    for prefix, res in rgb_passes:
+        if scfg.variant == "nerf":
+            rgb_loss, rgb_dict = losses.nerf_loss(res, batch["rgbs"])
+        elif scfg.variant == "snerf":
+            rgb_loss, rgb_dict = losses.snerf_loss(
+                res, batch["rgbs"], scfg.sc_lambda, sc_on
+            )
+        else:
+            l_beta, d_beta = losses.satnerf_loss(
+                res, batch["rgbs"], scfg.sc_lambda, sc_on
+            )
+            l_plain, d_plain = losses.snerf_loss(
+                res, batch["rgbs"], scfg.sc_lambda, sc_on
+            )
+            rgb_loss = beta_active * l_beta + (1.0 - beta_active) * l_plain
+            rgb_dict = {
+                "coarse_color": beta_active * d_beta["coarse_color"]
+                + (1.0 - beta_active) * d_plain["coarse_color"],
+                "coarse_logbeta": beta_active * d_beta["coarse_logbeta"],
+            }
+            if sc_on:
+                rgb_dict["coarse_sc_term2"] = d_beta["coarse_sc_term2"]
+                rgb_dict["coarse_sc_term3"] = d_beta["coarse_sc_term3"]
+        loss = loss + rgb_loss
+        loss_dict.update({prefix + k: v for k, v in rgb_dict.items()})
 
     # -- depth supervision (ref: training_step.py:29-54) ------------------
     if scfg.depth:
@@ -112,11 +122,15 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
             params, depth_rcfg, batch["depth_rays"], batch["depth_extras"], key=k_depth
         )
         kp_w = 1.0 if scfg.ds_noweights else batch["depth_weights"].reshape(-1)
-        d_loss, d_dict = losses.depth_loss(
-            d_results, batch["depth_depths"].reshape(-1), kp_w, scfg.ds_lambda
-        )
-        loss = loss + d_loss
-        loss_dict.update(d_dict)
+        depth_passes = [("", d_results)]
+        if "coarse" in d_results:
+            depth_passes.append(("c_", d_results["coarse"]))
+        for prefix, dres in depth_passes:
+            d_loss, d_dict = losses.depth_loss(
+                dres, batch["depth_depths"].reshape(-1), kp_w, scfg.ds_lambda
+            )
+            loss = loss + d_loss
+            loss_dict.update({prefix + k: v for k, v in d_dict.items()})
         loss_dict["depth_loss_activated"] = jnp.asarray(1.0)
 
     # -- semantic losses (ref: semantic/components/training_step.py:56-92) -
@@ -235,6 +249,8 @@ def step_config_from_main(
         n_samples=p.n_samples,
         solar_correction=getattr(p, "sc_lambda", 0.0) > 0,
         compute_dtype=getattr(p, "compute_dtype", "float32"),
+        n_importance=getattr(p, "n_importance", 0),
+        use_fine_network=getattr(p, "use_fine_network", False),
     )
     depth = getattr(p, "depth_enabled", False) if with_depth is None else with_depth
     return StepConfig(
