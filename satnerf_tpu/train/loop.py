@@ -169,10 +169,14 @@ class Trainer:
         )
         pending: list[tuple[int, dict]] = []
         t_last = time.time()
-        start_step = int(state.step)
+        # host-side step mirror: reading state.step from device every
+        # iteration would be a blocking round trip per step (catastrophic
+        # over a remote device tunnel); the device counter is only consulted
+        # once here and at checkpoints
+        start_step = int(jax.device_get(state.step))
+        step_i = start_step
 
-        while int(state.step) < max_steps:
-            step_i = int(state.step)
+        while step_i < max_steps:
             idx = jnp.asarray(sampler.next_batch())
             use_depth = has_depth and step_i < ds_drop
             didx = (
@@ -185,22 +189,23 @@ class Trainer:
             self.trace.step(step_i)
             with self.profiler.phase("train_step"):
                 state, metrics = fn(state, store, depth_store, idx, didx, sub)
+            step_i += 1
             pending.append((step_i, metrics))
 
-            if (step_i + 1) % self.log_every == 0 or step_i + 1 >= max_steps:
+            if step_i % self.log_every == 0 or step_i >= max_steps:
                 now = time.time()
                 rate = self.log_every / max(now - t_last, 1e-9)
                 t_last = now
                 fetched = jax.device_get(pending[-1][1])
-                self._log_train(step_i + 1, fetched, rate, batch_size)
+                self._log_train(step_i, fetched, rate, batch_size)
                 pending.clear()
 
             # epoch boundary -> validation + checkpoints
-            new_epoch = (step_i + 1) // steps_per_epoch
-            at_boundary = (step_i + 1) % steps_per_epoch == 0
+            new_epoch = step_i // steps_per_epoch
+            at_boundary = step_i % steps_per_epoch == 0
             if at_boundary and validate_every_epoch and (
                 new_epoch % cfg.run.check_val_every_n_epoch == 0
-                or step_i + 1 >= max_steps
+                or step_i >= max_steps
             ):
                 with self.profiler.phase("validate"):
                     val = self.validate(
@@ -215,10 +220,12 @@ class Trainer:
         ckpt.save_last(state)
         self.trace.close()
         self.profiler.dump(os.path.join(run_dp, "profiler"))
+        final_step = int(jax.device_get(state.step))
+        assert final_step == step_i, (final_step, step_i)
         logger.info(
             "Run",
-            f"finished at step {int(state.step)} "
-            f"({int(state.step) - start_step} steps this session)",
+            f"finished at step {final_step} "
+            f"({final_step - start_step} steps this session)",
         )
         return state
 
