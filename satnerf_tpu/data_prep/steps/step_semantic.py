@@ -8,7 +8,6 @@ map is written into root.json.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

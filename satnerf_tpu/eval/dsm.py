@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from satnerf_tpu.geo.utm import utm_from_latlon, zonestring_to_hemisphere
+from satnerf_tpu.geo.utm import utm_from_latlon
 from satnerf_tpu.io.tiff import GeoProfile, epsg_for_utm, read_geotiff, write_geotiff
 from satnerf_tpu.ops import dsm_register
 from satnerf_tpu.ops.rasterize import rasterize_mean

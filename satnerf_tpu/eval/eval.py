@@ -21,7 +21,7 @@ from satnerf_tpu.eval.eval_nerf import eval_nerf_training
 from satnerf_tpu.eval.eval_semantic import eval_semantic_nerfs
 from satnerf_tpu.eval.extract_pointcloud import create_dsm_pointcloud
 from satnerf_tpu.eval.gather_eval import gather
-from satnerf_tpu.eval.util import expand_input_files_for_experiments, run_eval_script
+from satnerf_tpu.eval.util import expand_input_files_for_experiments
 from satnerf_tpu.logger import logger
 
 

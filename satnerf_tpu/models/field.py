@@ -35,7 +35,7 @@ instead of the reference's chunked repeat_interleave loops
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

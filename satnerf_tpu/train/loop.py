@@ -30,7 +30,6 @@ from satnerf_tpu.eval.dsm import compute_dsm_and_mae
 from satnerf_tpu.logger import logger
 from satnerf_tpu.parallel import make_mesh, replicated_sharding
 from satnerf_tpu.render.renderer import render_image_chunked
-from satnerf_tpu.train import losses as loss_lib
 from satnerf_tpu.train.checkpoint import CheckpointManager
 from satnerf_tpu.train.data import (
     DEPTH_KEYS,
