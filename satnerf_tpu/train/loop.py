@@ -19,6 +19,7 @@ Structure per run:
 from __future__ import annotations
 
 import os
+import signal
 import time
 
 import jax
@@ -66,6 +67,35 @@ class Trainer:
         self.history: list[dict] = []
         self.profiler = PhaseProfiler()
         self.trace = TraceCapture()
+        self._stop_requested = False
+
+    def request_stop(self) -> None:
+        """Ask the fit loop to checkpoint and exit after the current step."""
+        self._stop_requested = True
+
+    def _install_signal_handlers(self):
+        """Graceful preemption: SIGTERM/SIGINT finish the in-flight step,
+        write ckpoints/last and return — killing a TPU client mid-step can
+        wedge the device runtime (single-tenant chips especially), and the
+        reference's only recovery is manual resume (ref:
+        run/resume_training.py:16-36)."""
+        previous = {}
+
+        def handler(signum, frame):
+            # async-signal-safe: only set the flag (logging here can deadlock
+            # on the logging lock held by the interrupted main thread)
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not in the main thread
+                pass
+        return previous
+
+    def _restore_signal_handlers(self, previous):
+        for sig, old in previous.items():
+            signal.signal(sig, old)
 
     # ------------------------------------------------------------------
     def fit(self, max_steps: int | None = None, validate_every_epoch: bool = True):
@@ -174,8 +204,9 @@ class Trainer:
         # once here and at checkpoints
         start_step = int(jax.device_get(state.step))
         step_i = start_step
+        prev_handlers = self._install_signal_handlers()
 
-        while step_i < max_steps:
+        while step_i < max_steps and not self._stop_requested:
             idx = jnp.asarray(sampler.next_batch())
             use_depth = has_depth and step_i < ds_drop
             didx = (
@@ -217,10 +248,15 @@ class Trainer:
                 ckpt.save_last(state)
 
         ckpt.save_last(state)
+        self._restore_signal_handlers(prev_handlers)
+        if self._stop_requested:
+            logger.warning(
+                "Run", "stop requested (signal or API); checkpointed to last"
+            )
         self.trace.close()
         self.profiler.dump(os.path.join(run_dp, "profiler"))
         final_step = int(jax.device_get(state.step))
-        assert final_step == step_i, (final_step, step_i)
+        assert final_step == step_i or self._stop_requested, (final_step, step_i)
         logger.info(
             "Run",
             f"finished at step {final_step} "

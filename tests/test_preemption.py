@@ -1,0 +1,55 @@
+"""Graceful-preemption test: SIGTERM mid-training checkpoints and exits
+cleanly; resume continues from the stop point."""
+
+import os
+import signal
+import threading
+
+import pytest
+
+from satnerf_tpu.configs import MainConfig, SatNeRFConfig, RunConfig
+from satnerf_tpu.datasets.synthetic import generate_scene
+from satnerf_tpu.pipelines import load_pipeline
+from satnerf_tpu.train.loop import Trainer
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    generate_scene(
+        str(tmp_path / "ds" / "SYN_SIG"), n_train=2, n_test=1, img_size=32,
+        n_tie_points=60,
+    )
+    run = RunConfig(
+        dataset_name="SYN_SIG", datasets_dp=str(tmp_path / "ds"),
+        cache_dp=str(tmp_path / "cache"), workspace_dp=str(tmp_path / "train"),
+        max_train_steps=10_000, num_sanity_val_steps=0,
+    )
+    pipe = SatNeRFConfig(
+        n_samples=4, fc_layers=2, fc_units=32, fc_skips=[1], batch_size=128,
+        depth_enabled=False, render_chunk_size=2048,
+    )
+    cfg = MainConfig(run, pipe)
+    pipeline = load_pipeline(cfg)
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+    trainer = Trainer(pipeline, log_every=1000)
+
+    # deliver SIGTERM once training is measurably underway (setup + first
+    # compile can take ~20s on CPU)
+    timer = threading.Timer(25.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        state = trainer.fit(validate_every_epoch=False)
+    finally:
+        timer.cancel()
+
+    stopped_at = int(state.step)
+    assert stopped_at < 10_000, "run should have been interrupted"
+    assert os.path.isdir(os.path.join(cfg.run.run_dp, "ckpoints", "last"))
+
+    # resume continues from the stop point
+    cfg.run.resume_from_ckpoint = True
+    trainer2 = Trainer(pipeline, log_every=1000)
+    state2 = trainer2.fit(
+        max_steps=stopped_at + 5, validate_every_epoch=False
+    )
+    assert int(state2.step) == stopped_at + 5
