@@ -282,9 +282,56 @@ def render_image_chunked(
 _EVAL_FN_CACHE: dict = {}
 
 
-def _eval_chunk_fn(rcfg: RenderConfig):
-    if rcfg not in _EVAL_FN_CACHE:
-        _EVAL_FN_CACHE[rcfg] = jax.jit(
-            lambda p, r, e: render_rays(p, rcfg, r, e, key=None)
-        )
-    return _EVAL_FN_CACHE[rcfg]
+def _eval_chunk_fn(rcfg: RenderConfig, mesh=None):
+    cache_key = (rcfg, id(mesh) if mesh is not None else None)
+    if cache_key not in _EVAL_FN_CACHE:
+        fn = lambda p, r, e: render_rays(p, rcfg, r, e, key=None)
+        if mesh is None:
+            _EVAL_FN_CACHE[cache_key] = jax.jit(fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _EVAL_FN_CACHE[cache_key] = jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P("data")),
+                    NamedSharding(mesh, P("data")),
+                ),
+            )
+    return _EVAL_FN_CACHE[cache_key]
+
+
+def render_image_sharded(
+    params: dict,
+    rcfg: RenderConfig,
+    rays,
+    extras,
+    mesh,
+    chunk: int = 65536,
+) -> dict:
+    """Multi-chip full-image rendering: each fixed-shape chunk is sharded
+    along the ray axis over the data mesh (params replicated). The per-chunk
+    shape is padded to a multiple of chunk (itself a multiple of the mesh
+    size), so one compiled program serves every image size."""
+    import numpy as np
+
+    n_dev = mesh.devices.size
+    chunk = max(chunk - chunk % n_dev, n_dev)
+    n = rays.shape[0]
+    fn = _eval_chunk_fn(rcfg, mesh)
+
+    outs: list[dict] = []
+    for i in range(0, n, chunk):
+        r = np.asarray(rays[i : i + chunk])
+        e = np.asarray(extras[i : i + chunk])
+        pad = chunk - r.shape[0]
+        if pad:
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
+            e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
+        res = fn(params, r, e)
+        res = jax.tree.map(np.asarray, res)
+        if pad:
+            res = jax.tree.map(lambda x: x[: chunk - pad], res)
+        outs.append(res)
+    return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}

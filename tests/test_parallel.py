@@ -69,3 +69,40 @@ def test_sharded_steps_run_consecutively():
         state, metrics = step(state, sb, jax.random.PRNGKey(i))
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 3
+
+
+def test_sharded_image_render_matches_single_device():
+    from satnerf_tpu.render.renderer import (
+        RenderConfig,
+        render_image_chunked,
+        render_image_sharded,
+    )
+    from satnerf_tpu.train.state import init_params
+    from satnerf_tpu.models.field import FieldConfig
+    import jax
+
+    fcfg = FieldConfig(variant="rs_semantic", layers=2, feat=64, skips=(1,),
+                       mapping=True)
+    rcfg = RenderConfig(field=fcfg, n_samples=8)
+    params = init_params(jax.random.PRNGKey(0), fcfg, t_vocab=4)
+    rng = np.random.default_rng(5)
+    b = 100  # not divisible by 8 -> exercises padding
+    o = rng.uniform(-0.5, 0.5, (b, 3)).astype(np.float32)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (b, 1))
+    rays = np.concatenate(
+        [o, d, np.zeros((b, 1), np.float32), np.ones((b, 1), np.float32)], 1
+    )
+    extras = np.concatenate(
+        [np.tile([[0.3, 0.3, 0.9]], (b, 1)).astype(np.float32),
+         rng.integers(0, 4, (b, 1)).astype(np.float32)], 1
+    )
+
+    single = render_image_chunked(params, rcfg, rays, extras, chunk=64)
+    mesh = make_mesh(8)
+    sharded = render_image_sharded(params, rcfg, rays, extras, mesh, chunk=64)
+    assert sharded["rgb"].shape == (100, 3)
+    np.testing.assert_allclose(sharded["rgb"], single["rgb"], atol=1e-5)
+    np.testing.assert_allclose(sharded["depth"], single["depth"], atol=1e-5)
+    np.testing.assert_array_equal(
+        sharded["semantic_label"], single["semantic_label"]
+    )
