@@ -93,6 +93,14 @@ class ProcessingStep(ProcessingStepBase):
             profile.epsg = epsg
             write_geotiff(out_fp, arr, profile)
 
+        # optional ignore mask (ref: adapter:158-183 copy_ignore_mask): when
+        # present it replaces the water mask in MAE computation
+        if g.ignore_masks_dp:
+            src = os.path.join(g.ignore_masks_dp, f"{self.aoi}_ignore.tif")
+            if os.path.isfile(src):
+                shutil.copy(src, os.path.join(self.out_dp, f"{self.aoi}_ignore.tif"))
+                logger.info("DataPrep", "ignore mask copied")
+
         # copy imagery
         for tif_fp in sorted(
             glob.glob(os.path.join(g.dfc_rgb_dp, f"{self.aoi}_*_RGB.tif"))
@@ -160,3 +168,6 @@ class ProcessingStep(ProcessingStepBase):
                 "test_files": SATNERF_TEST_FILES.get(self.aoi, []),
             }
         )
+        ignore_fp = os.path.join(self.out_dp, f"{self.aoi}_ignore.tif")
+        if os.path.isfile(ignore_fp):
+            state["ignore_mask_fp"] = ignore_fp
