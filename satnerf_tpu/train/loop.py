@@ -55,7 +55,8 @@ def _make_step_fn(scfg, optimizer, with_depth: bool):
             batch.update(d)
         return base(state, batch, key)
 
-    return jax.jit(fn, static_argnames=())
+    # donate the train state: params/opt buffers are reused in place
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 class Trainer:
@@ -248,6 +249,8 @@ class Trainer:
                 ckpt.save_last(state)
 
         ckpt.save_last(state)
+        if self.writer is not None:
+            self.writer.flush()
         self._restore_signal_handlers(prev_handlers)
         if self._stop_requested:
             logger.warning(
