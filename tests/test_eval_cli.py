@@ -106,3 +106,28 @@ def test_gather_cli(trained_run):
     report = gather(out_dp, os.path.join(out_dp, "gathered.txt"))
     assert "PSNR" in report and "tabular" in report
     assert os.path.isfile(os.path.join(out_dp, "gathered.txt"))
+
+
+def test_render_view_cli(trained_run, tmp_path):
+    """Novel-view rendering with sun-angle relighting and re-dating."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.render_view import render_view
+
+    out = str(tmp_path / "views")
+    res = render_view(
+        run_dp, "SYN_001_001_RGB", out=out, sun_elevation=25.0,
+        sun_azimuth=300.0, ts=1, chunk=2048,
+    )
+    assert res["rgb"].shape == (40 * 40, 3)
+    files = os.listdir(out)
+    assert any(f.endswith("_rgb.png") for f in files)
+    assert any(f.endswith("_semantic.png") for f in files)
+    assert any(f.endswith("_semantic_shaded.png") for f in files)
+    assert any("sun25-300_ts1" in f for f in files)
+
+    # relighting changes the rendered image
+    res2 = render_view(
+        run_dp, "SYN_001_001_RGB", out=out, sun_elevation=70.0,
+        sun_azimuth=100.0, ts=1, chunk=2048,
+    )
+    assert float(np.abs(res2["rgb"] - res["rgb"]).mean()) > 1e-4
