@@ -56,6 +56,11 @@ class StepConfig:
     use_car_reg_loss: bool = False
     car_reg_loss_start: int = 3
     lambda_c: float = 0.1
+    # micro-batching: split each batch into K sequential micro-steps whose
+    # gradients are averaged before ONE optimizer update (lax.scan, so
+    # activation memory is O(batch/K)) — unlocks effective batches beyond
+    # single-chip HBM (e.g. 65536 rays with K=8)
+    grad_accum: int = 1
 
     @property
     def variant(self) -> str:
@@ -185,16 +190,53 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
 def build_train_step(scfg: StepConfig, optimizer: optax.GradientTransformation):
     """Returns jittable ``train_step(state, batch, key) -> (state, metrics)``."""
 
-    def train_step(state: TrainState, batch: dict, key: jax.Array):
-        def loss_fn(params):
-            loss, loss_dict, _ = compute_losses(
-                scfg, params, batch, state.step, key
-            )
+    def grad_fn(params, batch, step, key):
+        def loss_fn(p):
+            loss, loss_dict, _ = compute_losses(scfg, p, batch, step, key)
             return loss, loss_dict
 
-        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k = scfg.grad_accum
+        if k <= 1:
+            (loss, loss_dict), grads = grad_fn(
+                state.params, batch, state.step, key
+            )
+        else:
+            # reshape every batch leaf to (K, n/K, ...) and scan micro-steps
+            micro = jax.tree.map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
+            )
+            keys = jax.random.split(key, k)
+
+            def body(carry, inp):
+                grads_acc, loss_acc, dict_acc = carry
+                mb, mk = inp
+                (loss, ld), grads = grad_fn(state.params, mb, state.step, mk)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                loss_acc = loss_acc + loss
+                dict_acc = jax.tree.map(jnp.add, dict_acc, ld)
+                return (grads_acc, loss_acc, dict_acc), None
+
+            # first micro-step initialises the accumulators (gives the
+            # loss-dict structure without a separate eval_shape pass)
+            first_mb = jax.tree.map(lambda x: x[0], micro)
+            (loss0, dict0), grads0 = grad_fn(
+                state.params, first_mb, state.step, keys[0]
+            )
+            rest = (
+                jax.tree.map(lambda x: x[1:], micro),
+                keys[1:],
+            )
+            (grads, loss, loss_dict), _ = jax.lax.scan(
+                body, (grads0, loss0, dict0), rest
+            )
+            inv = 1.0 / k
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+            loss_dict = jax.tree.map(lambda v: v * inv, loss_dict)
+
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **loss_dict}

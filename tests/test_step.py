@@ -127,3 +127,44 @@ def test_all_variants_one_step():
         state, metrics = step(state, _batch(), jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"])), variant
         assert np.isfinite(float(metrics["psnr"])), variant
+
+
+def test_grad_accum_matches_full_batch():
+    """K micro-steps with averaged grads == one full-batch step (same math;
+    sampling keys differ per micro-batch so compare with deterministic
+    rendering: perturb=0 via key=None is not possible in train_step, so use
+    identical per-micro keys by fixing the batch to identical halves)."""
+    import dataclasses
+
+    fcfg = FieldConfig(variant="satnerf", layers=2, feat=64, skips=(1,))
+    rcfg = RenderConfig(field=fcfg, n_samples=8, solar_correction=True,
+                        perturb=0.0)  # deterministic sampling
+    base = dict(render=rcfg, steps_per_epoch=4, sc_lambda=0.05,
+                first_beta_epoch=0)
+    scfg1 = StepConfig(**base, grad_accum=1)
+    scfg4 = StepConfig(**base, grad_accum=4)
+    opt = make_optimizer(1e-3, steps_per_epoch=4)
+    state0 = create_train_state(jax.random.PRNGKey(0), fcfg, opt)
+
+    batch = _batch(64)
+    s1, m1 = jax.jit(build_train_step(scfg1, opt))(
+        state0, batch, jax.random.PRNGKey(5)
+    )
+    s4, m4 = jax.jit(build_train_step(scfg4, opt))(
+        state0, batch, jax.random.PRNGKey(5)
+    )
+    # with perturb=0 the render is key-independent -> identical losses/grads
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-5)
+    w1 = np.asarray(s1.params["field"]["trunk"][0]["w"])
+    w4 = np.asarray(s4.params["field"]["trunk"][0]["w"])
+    np.testing.assert_allclose(w4, w1, atol=1e-6)
+
+
+def test_grad_accum_with_depth_and_semantic():
+    scfg = _scfg("rs_semantic", depth=True, grad_accum=2)
+    opt = make_optimizer(1e-3, steps_per_epoch=4)
+    state = create_train_state(jax.random.PRNGKey(1), scfg.render.field, opt)
+    step = jax.jit(build_train_step(scfg, opt))
+    state, metrics = step(state, _batch(depth=True), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "coarse_ds" in metrics
