@@ -103,6 +103,7 @@ class NeRFConfig(BaseModel):
     epoch_subsampling: float = 1.0
     lr_scheduler: str = "step"
     compute_dtype: str = "float32"  # trunk GEMM dtype ("bfloat16" for speed)
+    grad_accum: int = 1  # micro-batching factor (memory vs batch size)
 
     @property
     def variant(self) -> str:

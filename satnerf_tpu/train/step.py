@@ -312,4 +312,5 @@ def step_config_from_main(
         use_car_reg_loss=getattr(p, "use_car_reg_loss", False),
         car_reg_loss_start=getattr(p, "car_reg_loss_start", 3),
         lambda_c=getattr(p, "lambda_c", 0.1),
+        grad_accum=getattr(p, "grad_accum", 1),
     )
