@@ -13,6 +13,7 @@ import numpy as np
 
 from satnerf_tpu.configs import read_toml
 from satnerf_tpu.logger import logger
+from satnerf_tpu.render.renderer import render_image_chunked as batched_inference  # noqa: F401  (reference API name, ref: eval/utils/util.py:14-42)
 
 EVAL_DP_ENV = "SATNERF_TPU_EVAL_DP"
 EVAL_DP_ENV_COMPAT = "SEMANTIC_SATNERF_EVAL_DP"  # reference name accepted too

@@ -162,8 +162,10 @@ class Trainer:
 
         # device placement (replicated across the data mesh when DP > 1)
         mesh = None
+        self._mesh = None
         if cfg.run.data_parallel > 1:
             mesh = make_mesh(cfg.run.data_parallel)
+            self._mesh = mesh
             repl = replicated_sharding(mesh)
             store = device_store(rgb.combined, TRAIN_KEYS, sharding=repl)
             state = jax.device_put(state, repl)
@@ -299,12 +301,21 @@ class Trainer:
             1024, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
         )
 
+        mesh = getattr(self, "_mesh", None)
         for i in range(len(rgb_test.data)):
             item = rgb_test.image_item(i)
             split = item["split"]
-            res = render_image_chunked(
-                params, rcfg, item["rays"], item["extras"], chunk=chunk
-            )
+            if mesh is not None:
+                from satnerf_tpu.render.renderer import render_image_sharded
+
+                res = render_image_sharded(
+                    params, rcfg, item["rays"], item["extras"], mesh,
+                    chunk=max(chunk, mesh.devices.size),
+                )
+            else:
+                res = render_image_chunked(
+                    params, rcfg, item["rays"], item["extras"], chunk=chunk
+                )
             h, w = item["h"], item["w"]
             gt = item["rgbs"].reshape(h, w, 3)
             pred = res["rgb"].reshape(h, w, 3)
