@@ -1,0 +1,59 @@
+"""Multi-host (multi-slice / DCN) initialisation helpers.
+
+Single-host multi-chip needs nothing beyond `make_mesh()`. For pods or
+multi-slice deployments, every host runs the SAME training program
+(single-controller-per-process SPMD); this wrapper wires
+``jax.distributed.initialize`` from explicit args or the standard cluster
+env vars, after which ``jax.devices()`` spans all hosts, the 1-D data mesh
+covers the pod, and each host feeds only its addressable shard of the batch.
+
+The reference has no multi-host story at all (SURVEY.md §2.7: tmux
+process-per-GPU for independent experiments); here scale-out of ONE training
+run is a first-class path, while independent-experiment scale-out remains
+available through run/automated_training.py.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from satnerf_tpu.logger import logger
+from satnerf_tpu.parallel.mesh import make_mesh
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialise the JAX distributed runtime (idempotent).
+
+    With no args, defers to cluster auto-detection (TPU pod metadata /
+    standard env vars). Returns (process_index, process_count).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:  # already initialised
+        logger.warning("Multihost", f"distributed init skipped: {exc}")
+    logger.info(
+        "Multihost",
+        f"process {jax.process_index()}/{jax.process_count()} with "
+        f"{jax.local_device_count()} local of {jax.device_count()} devices",
+    )
+    return jax.process_index(), jax.process_count()
+
+
+def make_pod_mesh():
+    """1-D data mesh over every device in the pod (call after
+    initialize_multihost)."""
+    return make_mesh(len(jax.devices()))
+
+
+def local_batch_slice(global_batch: int) -> int:
+    """Rays this host must feed per step for an evenly-sharded global batch."""
+    per_device = global_batch // jax.device_count()
+    return per_device * jax.local_device_count()
