@@ -174,8 +174,10 @@ class BaseDataset:
         """Whole-image item for validation/eval (ref: satnerf_dataset
         __getitem__ test branch)."""
         d = dict(self.data[index])
-        d["split"] = "train" if index == 0 and self.split != "train" else self.split
-        if self.split != "train":
+        # in the test split the first item is the prepended train view
+        if self.split == "train":
+            d["split"] = "train"
+        else:
             d["split"] = "train" if index == 0 else "test"
         d["img_fp"] = os.path.join(self.img_dp, d["name"] + ".tif")
         return d

@@ -100,15 +100,24 @@ def main(argv=None):
 
 
 def _parse(argv):
+    """argv -> (positional, kwargs) with numeric/bool value coercion."""
+    def coerce(v: str):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                continue
+        return v
+
     args, kwargs = [], {}
     it = iter(argv)
     for a in it:
         if a.startswith("--"):
-            kwargs[a[2:]] = next(it)
+            kwargs[a[2:]] = coerce(next(it))
         else:
             args.append(a)
-    if "epoch" in kwargs:
-        kwargs["epoch"] = int(kwargs["epoch"])
     return args, kwargs
 
 

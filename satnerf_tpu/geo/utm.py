@@ -197,9 +197,9 @@ def latlon_from_utm(eastings, norths, zone_string: str, xp=np):
     d6 = d5 * d
 
     latitude = p_rad - (p_tan / r) * (
-        d2 / 2.0 - d4 / 24.0 * (5.0 + 3.0 * p_tan2 + 10.0 * c - 4.0 * c2 - 9.0 * E_P2)
-    ) + (p_tan / r) * (
-        d6
+        d2 / 2.0
+        - d4 / 24.0 * (5.0 + 3.0 * p_tan2 + 10.0 * c - 4.0 * c2 - 9.0 * E_P2)
+        + d6
         / 720.0
         * (61.0 + 90.0 * p_tan2 + 298.0 * c + 45.0 * p_tan4 - 252.0 * E_P2 - 3.0 * c2)
     )

@@ -269,6 +269,9 @@ def render_image_chunked(
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
         res = fn(params, jnp.asarray(r), jnp.asarray(e))
+        # eval consumers only need the primary (fine) outputs; the nested
+        # coarse dict from hierarchical sampling cannot be concatenated
+        res.pop("coarse", None)
         res = jax.tree.map(np.asarray, res)
         if pad:
             res = jax.tree.map(lambda x: x[: chunk - pad], res)
@@ -330,6 +333,7 @@ def render_image_sharded(
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
         res = fn(params, r, e)
+        res.pop("coarse", None)  # see render_image_chunked
         res = jax.tree.map(np.asarray, res)
         if pad:
             res = jax.tree.map(lambda x: x[: chunk - pad], res)

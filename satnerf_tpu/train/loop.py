@@ -44,8 +44,14 @@ from satnerf_tpu.train.state import create_train_state, make_optimizer
 from satnerf_tpu.train.step import build_train_step
 
 
-def _make_step_fn(scfg, optimizer, with_depth: bool):
-    """jitted (state, store, depth_store, idx, depth_idx, key) -> ..."""
+def _make_step_fn(scfg, optimizer, with_depth: bool, mesh=None):
+    """jitted (state, store, depth_store, idx, depth_idx, key) -> ...
+
+    Under data parallelism the index vectors are sharded along the 'data'
+    axis while stores/state/key stay replicated: the gather then yields a
+    batch sharded over rays, the mean-reductions in the loss make XLA insert
+    the gradient psum, and the updated (replicated) state comes back.
+    """
     base = build_train_step(scfg, optimizer)
 
     def fn(state, store, depth_store, idx, depth_idx, key):
@@ -55,8 +61,20 @@ def _make_step_fn(scfg, optimizer, with_depth: bool):
             batch.update(d)
         return base(state, batch, key)
 
-    # donate the train state: params/opt buffers are reused in place
-    return jax.jit(fn, donate_argnums=(0,))
+    if mesh is None:
+        # donate the train state: params/opt buffers are reused in place
+        return jax.jit(fn, donate_argnums=(0,))
+
+    from satnerf_tpu.parallel import batch_sharding, replicated_sharding
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, repl, repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
 
 
 class Trainer:
@@ -182,22 +200,38 @@ class Trainer:
                 DEPTH_KEYS,
                 sharding=replicated_sharding(mesh) if mesh else None,
             )
-            # the BA tie-point set can be smaller than a ray batch; clamp the
-            # depth batch to the dataset size (fixed jit shape either way)
-            depth_batch = min(batch_size, int(dcomb["rays"].shape[0]))
+            # the BA tie-point set can be smaller than a ray batch; clamp
+            # the depth batch to the dataset size and align it to the mesh
+            # (fixed jit shape either way; grad_accum trimming happens in
+            # the step itself)
+            n_dev = mesh.devices.size if mesh is not None else 1
+            n_depth = int(dcomb["rays"].shape[0])
+            depth_batch = min(batch_size, n_depth)
+            depth_batch = max(depth_batch - depth_batch % n_dev, n_dev)
+            assert depth_batch <= n_depth, (
+                f"{n_depth} tie points cannot shard over {n_dev} devices"
+            )
             depth_sampler = EpochSampler(
-                dcomb["rays"].shape[0], depth_batch, seed=cfg.run.seed + 1
+                n_depth, depth_batch, seed=cfg.run.seed + 1
             )
 
-        step_d = _make_step_fn(scfg_d, optimizer, True) if has_depth else None
-        step_nd = _make_step_fn(scfg_nd, optimizer, False)
+        if mesh is not None:
+            assert batch_size % mesh.devices.size == 0, (
+                f"batch_size {batch_size} must divide over "
+                f"{mesh.devices.size} devices"
+            )
+        step_d = (
+            _make_step_fn(scfg_d, optimizer, True, mesh) if has_depth else None
+        )
+        step_nd = _make_step_fn(scfg_nd, optimizer, False, mesh)
 
         # sanity validation (ref: num_sanity_val_steps=1)
         if cfg.run.num_sanity_val_steps > 0 and validate_every_epoch:
             self.validate(state, scfg_nd, epoch=0, display_epoch=0, sanity=True)
 
+        n_dev = mesh.devices.size if mesh is not None else 1
         dummy_didx = np.zeros(
-            depth_sampler.batch_size if depth_sampler else 1, np.int32
+            depth_sampler.batch_size if depth_sampler else n_dev, np.int32
         )
         pending: list[tuple[int, dict]] = []
         t_last = time.time()
@@ -233,12 +267,13 @@ class Trainer:
                 self._log_train(step_i, fetched, rate, batch_size)
                 pending.clear()
 
-            # epoch boundary -> validation + checkpoints
+            # epoch boundary (or end of run) -> validation + checkpoints
             new_epoch = step_i // steps_per_epoch
             at_boundary = step_i % steps_per_epoch == 0
-            if at_boundary and validate_every_epoch and (
-                new_epoch % cfg.run.check_val_every_n_epoch == 0
-                or step_i >= max_steps
+            run_done = step_i >= max_steps
+            if validate_every_epoch and (
+                (at_boundary and new_epoch % cfg.run.check_val_every_n_epoch == 0)
+                or run_done
             ):
                 with self.profiler.phase("validate"):
                     val = self.validate(

@@ -139,34 +139,41 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
         loss_dict["depth_loss_activated"] = jnp.asarray(1.0)
 
     # -- semantic losses (ref: semantic/components/training_step.py:56-92) -
+    # applied to every rendered pass (fine + coarse when hierarchical
+    # sampling is on; the reference loss modules add fine_semantic terms)
     if scfg.semantic:
         sem = batch["semantic"]
         sem_mask = batch.get("semantic_sparsity_mask")
-        l_plain_s, d_plain_s = losses.semantic_loss(
-            results, sem, sem_mask, scfg.lambda_s, scfg.car_index,
-            scfg.ignore_car_index,
-        )
-        if scfg.use_beta_for_s:
-            l_unc_s, d_unc_s = losses.semantic_uncertainty_loss(
-                results, sem, sem_mask, scfg.lambda_s, scfg.car_index,
-                scfg.ignore_car_index, scfg.detach_beta_for_s,
+        for prefix, res in rgb_passes:
+            l_plain_s, d_plain_s = losses.semantic_loss(
+                res, sem, sem_mask, scfg.lambda_s, scfg.car_index,
+                scfg.ignore_car_index,
             )
-            sem_loss = beta_active * l_unc_s + (1.0 - beta_active) * l_plain_s
-            sem_ce = (
-                beta_active * d_unc_s["coarse_semantic"]
-                + (1.0 - beta_active) * d_plain_s["coarse_semantic"]
-            )
-            loss_dict["coarse_semantic"] = sem_ce
-            if "coarse_semantic_logbeta" in d_unc_s:
-                loss_dict["coarse_semantic_logbeta"] = (
-                    beta_active * d_unc_s["coarse_semantic_logbeta"]
+            if scfg.use_beta_for_s:
+                l_unc_s, d_unc_s = losses.semantic_uncertainty_loss(
+                    res, sem, sem_mask, scfg.lambda_s, scfg.car_index,
+                    scfg.ignore_car_index, scfg.detach_beta_for_s,
                 )
-            loss_dict["semantic_beta_loss_activated"] = beta_active
-        else:
-            sem_loss = l_plain_s
-            loss_dict.update(d_plain_s)
-            loss_dict["semantic_beta_loss_activated"] = jnp.asarray(0.0)
-        loss = loss + sem_loss
+                sem_loss = (
+                    beta_active * l_unc_s + (1.0 - beta_active) * l_plain_s
+                )
+                sem_ce = (
+                    beta_active * d_unc_s["coarse_semantic"]
+                    + (1.0 - beta_active) * d_plain_s["coarse_semantic"]
+                )
+                loss_dict[prefix + "coarse_semantic"] = sem_ce
+                if "coarse_semantic_logbeta" in d_unc_s:
+                    loss_dict[prefix + "coarse_semantic_logbeta"] = (
+                        beta_active * d_unc_s["coarse_semantic_logbeta"]
+                    )
+                loss_dict["semantic_beta_loss_activated"] = beta_active
+            else:
+                sem_loss = l_plain_s
+                loss_dict.update(
+                    {prefix + k: v for k, v in d_plain_s.items()}
+                )
+                loss_dict["semantic_beta_loss_activated"] = jnp.asarray(0.0)
+            loss = loss + sem_loss
 
         if scfg.use_car_reg_loss:
             car_active = (epoch >= scfg.car_reg_loss_start).astype(jnp.float32)
@@ -204,9 +211,14 @@ def build_train_step(scfg: StepConfig, optimizer: optax.GradientTransformation):
                 state.params, batch, state.step, key
             )
         else:
-            # reshape every batch leaf to (K, n/K, ...) and scan micro-steps
+            # reshape every batch leaf to (K, n/K, ...) and scan micro-steps.
+            # Leaves whose leading dim is not divisible by K (the auto-sized
+            # depth tie-point batch) are trimmed by up to K-1 rows.
             micro = jax.tree.map(
-                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
+                lambda x: x[: (x.shape[0] // k) * k].reshape(
+                    (k, x.shape[0] // k) + x.shape[1:]
+                ),
+                batch,
             )
             keys = jax.random.split(key, k)
 

@@ -92,3 +92,54 @@ def test_training_with_fine_network_decreases_loss():
     assert float(metrics["loss"]) < first
     # both fields received gradient updates
     assert int(state.step) == 20
+
+
+def test_fine_network_full_image_eval():
+    """render_image_chunked must work with hierarchical sampling (the nested
+    coarse dict is dropped for eval consumers)."""
+    from satnerf_tpu.render.renderer import render_image_chunked
+
+    fcfg = FieldConfig(variant="satnerf", **SMALL)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=8, n_importance=8, use_fine_network=True,
+        solar_correction=True,
+    )
+    params = init_params(jax.random.PRNGKey(7), fcfg, t_vocab=4,
+                         use_fine_network=True)
+    rays, extras = _rays(37)
+    out = render_image_chunked(params, rcfg, np.asarray(rays),
+                               np.asarray(extras), chunk=16)
+    assert out["rgb"].shape == (37, 3)
+    assert out["weights"].shape == (37, 16)
+    assert "coarse" not in out
+
+
+def test_fine_network_semantic_losses_cover_coarse_pass():
+    from satnerf_tpu.train.state import create_train_state, make_optimizer
+    from satnerf_tpu.train.step import StepConfig, build_train_step
+
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, **SMALL)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=8, n_importance=8, use_fine_network=True,
+        solar_correction=False,
+    )
+    scfg = StepConfig(render=rcfg, steps_per_epoch=4, semantic=True,
+                      car_index=4, sc_lambda=0.0, first_beta_epoch=0)
+    opt = make_optimizer(1e-3, steps_per_epoch=4)
+    state = create_train_state(jax.random.PRNGKey(8), fcfg, opt, t_vocab=4,
+                               use_fine_network=True)
+    step = jax.jit(build_train_step(scfg, opt))
+    rays, extras = _rays(32)
+    rng = np.random.default_rng(2)
+    batch = {
+        "rays": rays, "extras": extras,
+        "rgbs": jnp.asarray(rng.uniform(0, 1, (32, 3)).astype(np.float32)),
+        "semantic": jnp.asarray(rng.integers(0, 5, (32, 1))),
+        "semantic_sparsity_mask": jnp.ones(32, dtype=bool),
+    }
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert "coarse_semantic" in metrics and "c_coarse_semantic" in metrics
+    # coarse field's semantic head received gradient
+    w_before = np.asarray(state.params["field"]["semantic"][0]["w"])
+    w_after = np.asarray(state2.params["field"]["semantic"][0]["w"])
+    assert not np.allclose(w_before, w_after)

@@ -74,6 +74,17 @@ class TestUtm:
         np.testing.assert_allclose(lat2, lat, atol=1e-9)
         np.testing.assert_allclose(lon2, lon, atol=1e-9)
 
+    def test_zone_edge_roundtrip_submillimetre(self):
+        # the D6 latitude series term must carry the correct sign; at ~3 deg
+        # from the central meridian the wrong sign shows up at the mm level
+        lat = np.linspace(31.9, 32.1, 9)
+        lon = np.linspace(-78.3, -78.1, 9)
+        e, n, zs = utm_from_latlon(lat, lon)
+        lat2, lon2 = latlon_from_utm(e, n, zs)
+        assert np.abs(lat2 - lat).max() * 110540.0 < 1e-4  # < 0.1 mm
+        # longitude series is truncated at d5: sub-millimetre, not sub-0.1mm
+        assert np.abs(lon2 - lon).max() * 94000.0 < 1e-3
+
     def test_zone_helpers(self):
         assert split_zone_string("17R") == (17, "R")
         assert zonestring_to_hemisphere("17R") == "17N"

@@ -106,3 +106,30 @@ def test_sharded_image_render_matches_single_device():
     np.testing.assert_array_equal(
         sharded["semantic_label"], single["semantic_label"]
     )
+
+
+def test_trainer_data_parallel_smoke(tmp_path):
+    """Trainer with data_parallel=8: full fit with sharded batches."""
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.datasets.synthetic import generate_scene
+    from satnerf_tpu.pipelines import load_pipeline
+    from satnerf_tpu.train.loop import Trainer
+
+    generate_scene(str(tmp_path / "ds" / "SYN_DP"), n_train=2, n_test=1,
+                   img_size=32, n_tie_points=60)
+    run = RunConfig(
+        dataset_name="SYN_DP", datasets_dp=str(tmp_path / "ds"),
+        cache_dp=str(tmp_path / "cache"), workspace_dp=str(tmp_path / "train"),
+        max_train_steps=6, num_sanity_val_steps=0, data_parallel=8,
+    )
+    pipe = RSSemanticConfig(
+        n_samples=4, fc_layers=2, fc_units=32, fc_skips=[1], batch_size=128,
+        depth_enabled=True, render_chunk_size=2048,
+    )
+    pipeline = load_pipeline(MainConfig(run, pipe))
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+    trainer = Trainer(pipeline, log_every=3)
+    state = trainer.fit(validate_every_epoch=True)
+    assert int(jax.device_get(state.step)) == 6
+    assert np.isfinite(trainer.history[-1]["loss"])
