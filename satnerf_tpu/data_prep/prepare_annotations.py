@@ -87,7 +87,7 @@ def corrupt_labels(mask: np.ndarray, seed: int = 0) -> np.ndarray:
             continue
         cls_id = LABELS[name]
         region = out == cls_id
-        border = _binary_dilate(region, 1) & ~region
+        border = _binary_dilate(region, growth) & ~region
         jitter = rng.uniform(size=(h, w)) < 0.35
         out[border & jitter] = cls_id
     return out

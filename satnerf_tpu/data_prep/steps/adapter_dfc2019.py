@@ -31,25 +31,30 @@ SATNERF_TEST_FILES = {
 
 def read_imd(imd_fp: str):
     """Parse meanSunAz / meanSunEl / TLCTime from a WorldView IMD file
-    (ref: adapter_DFC2019.py:273-292)."""
+    (ref: adapter_DFC2019.py:273-292). Tolerant of quoted/unquoted values
+    and 2- or 4-digit years (real DFC2019 IMDs use unquoted
+    '2014-10-09T15:44:31.632383Z')."""
     az = el = None
     time = None
     with open(imd_fp) as fp:
         for line in fp:
-            for key in ("meanSunAz", "meanSunEl", "TLCTime"):
-                pos = line.find(key)
-                if pos == -1:
-                    continue
-                last = line.find(";")
-                value = line[pos + 11 : last].strip()
-                if key == "meanSunAz":
-                    az = float(value)
-                elif key == "meanSunEl":
-                    el = float(value)
-                else:
-                    time = datetime.datetime.strptime(
-                        value.lstrip('"').rstrip('"'), "%y-%m-%dT%H:%M:%S.%fZ"
-                    )
+            if "=" not in line or ";" not in line:
+                continue
+            key_part, value = line.split("=", 1)
+            key = key_part.strip()
+            value = value.split(";")[0].strip().strip('"')
+            if key == "meanSunAz":
+                az = float(value)
+            elif key == "meanSunEl":
+                el = float(value)
+            elif key == "TLCTime":
+                for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%y-%m-%dT%H:%M:%S.%fZ",
+                            "%Y-%m-%dT%H:%M:%SZ"):
+                    try:
+                        time = datetime.datetime.strptime(value, fmt)
+                        break
+                    except ValueError:
+                        continue
     return az, el, time
 
 

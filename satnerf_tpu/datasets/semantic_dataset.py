@@ -34,11 +34,18 @@ class SemanticDataset(SatNeRFDataset):
             self.semantic_non_corrupted_dp = os.path.join(
                 cfg.run.dataset_dp, self.root[clean]
             )
+        # no-cars labels are produced for the base variant only; corrupted
+        # runs fall back to the clean no-cars set for eval comparisons
         self.semantic_no_cars_dp = None
-        if self.root.get(self.semantic_dataset_name + "_no_cars"):
-            self.semantic_no_cars_dp = os.path.join(
-                cfg.run.dataset_dp, self.root[self.semantic_dataset_name + "_no_cars"]
-            )
+        for key in (
+            self.semantic_dataset_name + "_no_cars",
+            "semantic_dp_" + sem_type.replace("_corrupted", "") + "_no_cars",
+        ):
+            if self.root.get(key):
+                self.semantic_no_cars_dp = os.path.join(
+                    cfg.run.dataset_dp, self.root[key]
+                )
+                break
 
         self.semantic_cls_labels: dict = self.root["semantic_cls_labels"]
         self.semantic_n_classes = len(self.semantic_cls_labels)

@@ -47,33 +47,34 @@ def eval_nerf_training(
         res = render_image_chunked(
             params, rcfg, img["rays"], img["extras"], chunk=chunk
         )
-        h, w = img["h"], img["w"]
-        gt = img["rgbs"].reshape(h, w, 3)
-        pred = res["rgb"].reshape(h, w, 3)
-
-        mae = compute_dsm_and_mae(
-            dataset, img["rays"], res["depth"], output_dp, img["name"], step
+        all_results[img["name"]] = evaluate_image(
+            dataset, img, res, output_dp, step
         )
-        psnr_ = float(metrics.psnr(jnp.asarray(pred), jnp.asarray(gt)))
-        ssim_ = float(metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
-
-        all_results[img["name"]] = {
-            "mae": mae,
-            "psnr": f"{psnr_:.2f}",
-            "ssim": f"{ssim_:.3f}",
-        }
-        logger.info(
-            "Eval",
-            f"{img['name']}: psnr={psnr_:.2f} ssim={ssim_:.3f} "
-            f"mae={mae['mean']}",
-        )
-
         d = _with_running_means(all_results)
         with open(os.path.join(output_dp, "results.json"), "w") as f:
             json.dump(d, f, indent=4)
 
     logger.info("Eval", f"results written to {output_dp}/results.json")
     return all_results
+
+
+def evaluate_image(dataset, img: dict, res: dict, output_dp: str, step: int) -> dict:
+    """PSNR/SSIM/MAE for one pre-rendered image (shared with eval.eval_all,
+    which renders each image once for all consumers)."""
+    h, w = img["h"], img["w"]
+    gt = img["rgbs"].reshape(h, w, 3)
+    pred = res["rgb"].reshape(h, w, 3)
+
+    mae = compute_dsm_and_mae(
+        dataset, img["rays"], res["depth"], output_dp, img["name"], step
+    )
+    psnr_ = float(metrics.psnr(jnp.asarray(pred), jnp.asarray(gt)))
+    ssim_ = float(metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    logger.info(
+        "Eval",
+        f"{img['name']}: psnr={psnr_:.2f} ssim={ssim_:.3f} mae={mae['mean']}",
+    )
+    return {"mae": mae, "psnr": f"{psnr_:.2f}", "ssim": f"{ssim_:.3f}"}
 
 
 def _with_running_means(all_results: dict) -> dict:

@@ -64,41 +64,59 @@ def eval_semantic_nerfs(
         res = render_image_chunked(
             params, rcfg, img["rays"], img["extras"], chunk=chunk
         )
-        pred = res["semantic_label"]
-        gt = img["semantic"]
-
-        cm_raw = confusion_matrix(pred, gt, n_classes, normalize=None)
-        cm_split += cm_raw
-        cm_img = confusion_matrix(pred, gt, n_classes, normalize="true")
-        png = render_confusion_matrix_png(cm_img, labels)
-        _save_png(png, os.path.join(output_dp, img["name"] + ".png"))
-
-        entry = {
-            "semantic_accuracy": semantic_accuracy(pred, gt),
-            "semantic_accuracy_wo_cars": semantic_accuracy(
-                pred, img.get("semantic_no_cars", gt)
-            ),
-            "mIoU": semantic_miou(cm_img),
-            "uncertainty_at_transient": uncertainty_at_transient(
-                res, gt, dataset.car_cls_idx
-            ),
-            "confusion_matrix": cm_img.tolist(),
-        }
-        if corrupted:
-            clean = img["semantic_non_corrupted"]
-            entry["semantic_accuracy_comparison_non_corrupted"] = semantic_accuracy(
-                pred, clean
-            )
-            entry[
-                "semantic_accuracy_comparison_non_corrupted_wo_cars"
-            ] = semantic_accuracy(pred, clean, filter_idx=dataset.car_cls_idx)
-        all_results[img["name"]] = entry
-        logger.info(
-            "Eval",
-            f"{img['name']}: acc={entry['semantic_accuracy']:.4f} "
-            f"mIoU={entry['mIoU']:.4f}",
+        entry, cm_raw = evaluate_semantic_image(
+            dataset, img, res, output_dp, corrupted
         )
+        cm_split += cm_raw
+        all_results[img["name"]] = entry
 
+    write_semantic_results(all_results, cm_split, labels, output_dp)
+    return all_results
+
+
+def evaluate_semantic_image(
+    dataset, img: dict, res: dict, output_dp: str, corrupted: bool
+):
+    """Semantic metrics for one pre-rendered image (shared with eval_all)."""
+    labels = list(dataset.semantic_cls_labels.values())
+    n_classes = dataset.semantic_n_classes
+    pred = res["semantic_label"]
+    gt = img["semantic"]
+
+    cm_raw = confusion_matrix(pred, gt, n_classes, normalize=None)
+    cm_img = confusion_matrix(pred, gt, n_classes, normalize="true")
+    png = render_confusion_matrix_png(cm_img, labels)
+    _save_png(png, os.path.join(output_dp, img["name"] + ".png"))
+
+    entry = {
+        "semantic_accuracy": semantic_accuracy(pred, gt),
+        "mIoU": semantic_miou(cm_img),
+        "uncertainty_at_transient": uncertainty_at_transient(
+            res, gt, dataset.car_cls_idx
+        ),
+        "confusion_matrix": cm_img.tolist(),
+    }
+    if "semantic_no_cars" in img:
+        entry["semantic_accuracy_wo_cars"] = semantic_accuracy(
+            pred, img["semantic_no_cars"]
+        )
+    if corrupted:
+        clean = img["semantic_non_corrupted"]
+        entry["semantic_accuracy_comparison_non_corrupted"] = semantic_accuracy(
+            pred, clean
+        )
+        entry[
+            "semantic_accuracy_comparison_non_corrupted_wo_cars"
+        ] = semantic_accuracy(pred, clean, filter_idx=dataset.car_cls_idx)
+    logger.info(
+        "Eval",
+        f"{img['name']}: acc={entry['semantic_accuracy']:.4f} "
+        f"mIoU={entry['mIoU']:.4f}",
+    )
+    return entry, cm_raw
+
+
+def write_semantic_results(all_results, cm_split, labels, output_dp):
     d = dict(all_results)
     for key, display in _DISPLAY.items():
         vals = [v[key] for v in all_results.values() if key in v]
@@ -115,7 +133,6 @@ def eval_semantic_nerfs(
     with open(os.path.join(output_dp, "results.json"), "w") as f:
         json.dump(d, f, indent=4)
     logger.info("Eval", f"results written to {output_dp}/results.json")
-    return all_results
 
 
 def _save_png(chw: np.ndarray, fp: str):

@@ -112,30 +112,39 @@ def create_dsm_pointcloud(
         res = render_image_chunked(
             params, rcfg, img["rays"], img["extras"], chunk=chunk
         )
-        depth = res["depth"]
-        cloud_n = dataset.get_xyz_from_nerf_prediction(img["rays"], depth)
-        cloud = create_dsm_cloud_from_nerf(dataset, img["rays"], depth)
-        colors = res["rgb"]
-        normals = np.asarray(extras_component(img["extras"], "sun_d"))
-
-        name = f"{img['name']}_epoch_{step}"
-        save_ply(cloud, colors, normals, os.path.join(output_dp, name))
-        save_ply(
-            cloud_n, colors, normals, os.path.join(output_dp, name + "_normalized")
-        )
-
-        # fixed-rng filtered versions (ref: extract_pointcloud.py:96-112)
-        rng = np.random.default_rng(0)
-        idx = rng.permutation(cloud_n.shape[0])[:filter_points]
-        save_ply(
-            cloud[idx], colors[idx], normals[idx],
-            os.path.join(output_dp, name + "_filtered"),
-        )
-        save_ply(
-            cloud_n[idx], colors[idx], normals[idx],
-            os.path.join(output_dp, name + "_normalized_filtered"),
-        )
+        export_image_clouds(dataset, img, res, output_dp, step, filter_points)
     logger.info("Cloud", f"extracted {until} point clouds to {output_dp}")
+
+
+def export_image_clouds(
+    dataset, img: dict, res: dict, output_dp: str, step: int,
+    filter_points: int = 30000,
+):
+    """Export all cloud variants for one pre-rendered image (shared with
+    eval.eval_all)."""
+    depth = res["depth"]
+    cloud_n = dataset.get_xyz_from_nerf_prediction(img["rays"], depth)
+    cloud = create_dsm_cloud_from_nerf(dataset, img["rays"], depth)
+    colors = res["rgb"]
+    normals = np.asarray(extras_component(img["extras"], "sun_d"))
+
+    name = f"{img['name']}_epoch_{step}"
+    save_ply(cloud, colors, normals, os.path.join(output_dp, name))
+    save_ply(
+        cloud_n, colors, normals, os.path.join(output_dp, name + "_normalized")
+    )
+
+    # fixed-rng filtered versions (ref: extract_pointcloud.py:96-112)
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(cloud_n.shape[0])[:filter_points]
+    save_ply(
+        cloud[idx], colors[idx], normals[idx],
+        os.path.join(output_dp, name + "_filtered"),
+    )
+    save_ply(
+        cloud_n[idx], colors[idx], normals[idx],
+        os.path.join(output_dp, name + "_normalized_filtered"),
+    )
 
 
 def main(argv=None):

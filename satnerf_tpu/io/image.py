@@ -15,12 +15,14 @@ from satnerf_tpu.io.tiff import GeoProfile, read_geotiff, write_geotiff
 def load_rgb_tensor(fp: str, downscale_factor: float = 1.0) -> np.ndarray:
     """GeoTIFF RGB -> flattened (h*w, 3) float32 normalised by /255.
 
-    ref: img_utils.py:23-47 (load_tensor_from_rgb_geotiff).
+    ``downscale_factor`` follows the reference convention: factor 2 HALVES
+    the resolution (ref: img_utils.py:23-47 resizes to size/factor; the
+    matching RPC rescale is 1/factor, camera_models.py:24-36).
     """
     arr, _ = read_geotiff(fp)
     img = np.moveaxis(arr[:3].astype(np.float32), 0, -1) / 255.0  # (H, W, 3)
     if downscale_factor != 1.0:
-        img = _resize_bicubic(img, downscale_factor)
+        img = _resize_bicubic(img, 1.0 / downscale_factor)
     return img.reshape(-1, 3)
 
 

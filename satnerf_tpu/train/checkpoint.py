@@ -133,6 +133,11 @@ def find_ckpoint_fp(run_dp: str, epoch: int | None = None) -> str:
         cand = os.path.join(dp, f"epoch_{epoch}")
         if os.path.isdir(cand):
             return cand
+        logger.warning(
+            "Checkpoint",
+            f"requested epoch {epoch} snapshot not found in {dp}; "
+            "falling back to best/last",
+        )
     for name in ("best", "last"):
         cand = os.path.join(dp, name)
         if os.path.isdir(cand):

@@ -33,6 +33,7 @@ def scale_for_tensorboard(img_chw: np.ndarray, size: int = 400) -> np.ndarray:
     if m <= size:
         return img_chw
     f = size / m
+    was_uint8 = img_chw.dtype == np.uint8
     hwc = np.moveaxis(img_chw, 0, -1)
     scaled = cv2.resize(
         hwc.astype(np.float32), (int(w * f), int(h * f)),
@@ -40,4 +41,8 @@ def scale_for_tensorboard(img_chw: np.ndarray, size: int = 400) -> np.ndarray:
     )
     if scaled.ndim == 2:
         scaled = scaled[..., None]
-    return np.moveaxis(scaled, -1, 0)
+    out = np.moveaxis(scaled, -1, 0)
+    if was_uint8:
+        # keep uint8 semantics: tensorboardX multiplies non-uint8 by 255
+        out = np.clip(out, 0, 255).astype(np.uint8)
+    return out

@@ -131,3 +131,23 @@ def test_render_view_cli(trained_run, tmp_path):
         sun_azimuth=100.0, ts=1, chunk=2048,
     )
     assert float(np.abs(res2["rgb"] - res["rgb"]).mean()) > 1e-4
+
+
+def test_eval_all_orchestrator(trained_run, tmp_path):
+    """Single-load single-render battery produces all three result sets."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.eval import eval_all
+
+    out = str(tmp_path / "battery")
+    os.makedirs(out, exist_ok=True)
+    eval_all(run_dp, out, splits="test", chunk=2048)
+    run_name = os.path.basename(run_dp)
+    assert os.path.isfile(
+        os.path.join(out, run_name, "eval", "test", "results.json")
+    )
+    assert os.path.isfile(
+        os.path.join(out, run_name, "eval_semantic", "test", "results.json")
+    )
+    pcs = os.listdir(os.path.join(out, run_name, "pointclouds", "test"))
+    assert len([f for f in pcs if f.endswith(".ply")]) == 8  # 2 imgs x 4 each
+    assert os.path.isfile(os.path.join(out, "gathered.txt"))
