@@ -217,7 +217,10 @@ def _linear(layer, x, dtype=None):
 
 def _act(cfg: FieldConfig, x, first: bool = False):
     if cfg.siren:
-        return jnp.sin((30.0 if first else 1.0) * x)
+        # sin args are phase-sensitive: evaluate in f32 even when the GEMMs
+        # run in bfloat16, then return to the compute dtype
+        y = jnp.sin((30.0 if first else 1.0) * x.astype(jnp.float32))
+        return y.astype(x.dtype)
     return jax.nn.relu(x)
 
 

@@ -60,14 +60,10 @@ def shard_train_step(train_step, mesh: Mesh):
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
 
-    def spec_for_batch(batch):
-        return {k: data for k in batch}
-
-    def wrapped(state, batch, key):
-        return train_step(state, batch, key)
-
+    # a single sharding acts as a pytree prefix: every leaf of the batch
+    # dict is sharded along its leading (ray) axis
     return jax.jit(
-        wrapped,
-        in_shardings=(repl, None, repl),
+        train_step,
+        in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
     )

@@ -247,28 +247,33 @@ def render_image_chunked(
     rays,
     extras,
     chunk: int = 8192,
+    mesh=None,
 ) -> dict:
     """Deterministic full-image rendering via fixed-shape jitted chunks.
 
     Host-level loop over padded chunks so one compiled program serves every
     image size (ref behaviour: eval/utils/util.py:14-42 batched_inference,
     re-designed to avoid per-image recompiles: the last chunk is padded to
-    ``chunk`` instead of being ragged).
+    ``chunk`` instead of being ragged). With ``mesh`` given, each chunk is
+    sharded along the ray axis over the data mesh (params replicated).
     """
     import numpy as np
 
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        chunk = max(chunk - chunk % n_dev, n_dev)
     n = rays.shape[0]
-    fn = _eval_chunk_fn(rcfg)
+    fn = _eval_chunk_fn(rcfg, mesh)
 
     outs: list[dict] = []
     for i in range(0, n, chunk):
-        r = rays[i : i + chunk]
-        e = extras[i : i + chunk]
+        r = np.asarray(rays[i : i + chunk])
+        e = np.asarray(extras[i : i + chunk])
         pad = chunk - r.shape[0]
         if pad:
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
-        res = fn(params, jnp.asarray(r), jnp.asarray(e))
+        res = fn(params, r, e)
         # eval consumers only need the primary (fine) outputs; the nested
         # coarse dict from hierarchical sampling cannot be concatenated
         res.pop("coarse", None)
@@ -285,8 +290,14 @@ def render_image_chunked(
 _EVAL_FN_CACHE: dict = {}
 
 
+def _mesh_cache_key(mesh):
+    if mesh is None:
+        return None
+    return (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+
+
 def _eval_chunk_fn(rcfg: RenderConfig, mesh=None):
-    cache_key = (rcfg, id(mesh) if mesh is not None else None)
+    cache_key = (rcfg, _mesh_cache_key(mesh))
     if cache_key not in _EVAL_FN_CACHE:
         fn = lambda p, r, e: render_rays(p, rcfg, r, e, key=None)
         if mesh is None:
@@ -306,36 +317,7 @@ def _eval_chunk_fn(rcfg: RenderConfig, mesh=None):
 
 
 def render_image_sharded(
-    params: dict,
-    rcfg: RenderConfig,
-    rays,
-    extras,
-    mesh,
-    chunk: int = 65536,
+    params: dict, rcfg: RenderConfig, rays, extras, mesh, chunk: int = 65536
 ) -> dict:
-    """Multi-chip full-image rendering: each fixed-shape chunk is sharded
-    along the ray axis over the data mesh (params replicated). The per-chunk
-    shape is padded to a multiple of chunk (itself a multiple of the mesh
-    size), so one compiled program serves every image size."""
-    import numpy as np
-
-    n_dev = mesh.devices.size
-    chunk = max(chunk - chunk % n_dev, n_dev)
-    n = rays.shape[0]
-    fn = _eval_chunk_fn(rcfg, mesh)
-
-    outs: list[dict] = []
-    for i in range(0, n, chunk):
-        r = np.asarray(rays[i : i + chunk])
-        e = np.asarray(extras[i : i + chunk])
-        pad = chunk - r.shape[0]
-        if pad:
-            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
-            e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
-        res = fn(params, r, e)
-        res.pop("coarse", None)  # see render_image_chunked
-        res = jax.tree.map(np.asarray, res)
-        if pad:
-            res = jax.tree.map(lambda x: x[: chunk - pad], res)
-        outs.append(res)
-    return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+    """Multi-chip full-image rendering (render_image_chunked with a mesh)."""
+    return render_image_chunked(params, rcfg, rays, extras, chunk=chunk, mesh=mesh)

@@ -233,7 +233,7 @@ class Trainer:
         dummy_didx = np.zeros(
             depth_sampler.batch_size if depth_sampler else n_dev, np.int32
         )
-        pending: list[tuple[int, dict]] = []
+        last_metrics: dict | None = None
         t_last = time.time()
         # host-side step mirror: reading state.step from device every
         # iteration would be a blocking round trip per step (catastrophic
@@ -257,15 +257,14 @@ class Trainer:
             with self.profiler.phase("train_step"):
                 state, metrics = fn(state, store, depth_store, idx, didx, sub)
             step_i += 1
-            pending.append((step_i, metrics))
+            last_metrics = metrics
 
             if step_i % self.log_every == 0 or step_i >= max_steps:
                 now = time.time()
                 rate = self.log_every / max(now - t_last, 1e-9)
                 t_last = now
-                fetched = jax.device_get(pending[-1][1])
+                fetched = jax.device_get(last_metrics)
                 self._log_train(step_i, fetched, rate, batch_size)
-                pending.clear()
 
             # epoch boundary (or end of run) -> validation + checkpoints
             new_epoch = step_i // steps_per_epoch
@@ -329,9 +328,12 @@ class Trainer:
         cfg = self.cfg
         rcfg = scfg.render
         rgb_test = pipeline.datasets["rgb_test"]
-        params = jax.device_get(state.params)
+        # keep params device-resident: pulling them to host would re-upload
+        # the full pytree on every render chunk (ruinous over a remote tunnel)
+        params = state.params
         visualizers = pipeline.visualizers() if not sanity else []
         out: dict = {}
+        test_psnrs: list[float] = []
         chunk = max(
             1024, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
         )
@@ -340,23 +342,19 @@ class Trainer:
         for i in range(len(rgb_test.data)):
             item = rgb_test.image_item(i)
             split = item["split"]
-            if mesh is not None:
-                from satnerf_tpu.render.renderer import render_image_sharded
-
-                res = render_image_sharded(
-                    params, rcfg, item["rays"], item["extras"], mesh,
-                    chunk=max(chunk, mesh.devices.size),
-                )
-            else:
-                res = render_image_chunked(
-                    params, rcfg, item["rays"], item["extras"], chunk=chunk
-                )
+            res = render_image_chunked(
+                params, rcfg, item["rays"], item["extras"],
+                chunk=max(chunk, mesh.devices.size) if mesh else chunk,
+                mesh=mesh,
+            )
             h, w = item["h"], item["w"]
             gt = item["rgbs"].reshape(h, w, 3)
             pred = res["rgb"].reshape(h, w, 3)
             psnr = float(image_metrics.psnr(jnp.asarray(pred), jnp.asarray(gt)))
             ssim = float(image_metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
 
+            if split == "test":
+                test_psnrs.append(psnr)
             sample_idx = i - 1 if split == "test" else i
             run_all(
                 visualizers, rgb_test, item, res, writer=self.writer,
@@ -365,9 +363,7 @@ class Trainer:
             )
             tag = f"{split}_{sample_idx}"
             if self.writer is not None:
-                self.writer.add_scalar(f"{split}/ssim", ssim, display_epoch)
-                if split == "test":
-                    self.writer.add_scalar("test/psnr", psnr, display_epoch)
+                self.writer.add_scalar(f"{split}/ssim_{sample_idx}", ssim, display_epoch)
                 img_stack = np.concatenate([gt, pred], axis=1)
                 self.writer.add_image(
                     f"val/{tag}", np.moveaxis(img_stack, -1, 0), display_epoch
@@ -391,8 +387,12 @@ class Trainer:
                     logger.warning("Validate", f"DSM/MAE failed: {exc}")
 
             out[f"{split}/psnr_{sample_idx}"] = psnr
-            if split == "test":
-                out["test/psnr"] = psnr
+        if test_psnrs:
+            out["test/psnr"] = float(np.mean(test_psnrs))
+            if self.writer is not None:
+                self.writer.add_scalar(
+                    "test/psnr", out["test/psnr"], display_epoch
+                )
         logger.info(
             "Validate",
             f"epoch {display_epoch}: "

@@ -67,7 +67,7 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     t_vocab: int = 50,
     use_fine_network: bool = False,
-) -> tuple[TrainState, optax.GradientTransformation]:
+) -> TrainState:
     params = init_params(key, fcfg, t_vocab, use_fine_network)
     return TrainState(
         params=params,

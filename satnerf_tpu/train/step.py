@@ -122,7 +122,7 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
 
     # -- depth supervision (ref: training_step.py:29-54) ------------------
     if scfg.depth:
-        depth_rcfg = replace(scfg.render, solar_correction=False, perturb=scfg.render.perturb)
+        depth_rcfg = replace(scfg.render, solar_correction=False)
         d_results = render_rays(
             params, depth_rcfg, batch["depth_rays"], batch["depth_extras"], key=k_depth
         )
@@ -212,14 +212,18 @@ def build_train_step(scfg: StepConfig, optimizer: optax.GradientTransformation):
             )
         else:
             # reshape every batch leaf to (K, n/K, ...) and scan micro-steps.
-            # Leaves whose leading dim is not divisible by K (the auto-sized
-            # depth tie-point batch) are trimmed by up to K-1 rows.
-            micro = jax.tree.map(
-                lambda x: x[: (x.shape[0] // k) * k].reshape(
+            # Leaves not divisible by K (the auto-sized depth tie-point
+            # batch) are trimmed by up to K-1 rows; leaves SMALLER than K
+            # are broadcast whole into every micro-step (the averaged
+            # result then equals the full-batch loss/grad for that term).
+            def to_micro(x):
+                if x.shape[0] < k:
+                    return jnp.broadcast_to(x[None], (k,) + x.shape)
+                return x[: (x.shape[0] // k) * k].reshape(
                     (k, x.shape[0] // k) + x.shape[1:]
-                ),
-                batch,
-            )
+                )
+
+            micro = jax.tree.map(to_micro, batch)
             keys = jax.random.split(key, k)
 
             def body(carry, inp):
