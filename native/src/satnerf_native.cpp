@@ -137,7 +137,8 @@ void sn_rasterize_mean(const double* cloud, int64_t n, double xoff, double yoff,
                        int radius, double* acc, double* cnt) {
   for (int64_t k = 0; k < n; ++k) {
     const double e = cloud[3 * k], nn = cloud[3 * k + 1], z = cloud[3 * k + 2];
-    if (!std::isfinite(z)) continue;
+    // all three must be finite: floor(NaN/inf)->int64 is UB
+    if (!std::isfinite(e) || !std::isfinite(nn) || !std::isfinite(z)) continue;
     const double col = (e - xoff) / resolution;
     const double row = (yoff - nn) / resolution;
     const int64_t c0 = (int64_t)std::floor(col);

@@ -22,8 +22,13 @@ from typing import Optional
 
 try:  # tomllib is stdlib on 3.11+
     import tomllib
-except ImportError:  # pragma: no cover
-    tomllib = None
+except ImportError:  # pragma: no cover - Python 3.10
+    try:
+        import tomli as tomllib
+    except ImportError as _exc:
+        raise ImportError(
+            "satnerf_tpu needs tomllib (Python >= 3.11) or the tomli package"
+        ) from _exc
 
 from pydantic import BaseModel
 
@@ -200,13 +205,25 @@ class MainConfig:
         return name
 
     def create_run_dp(self) -> str:
+        if self.run.run_dp:  # already created (idempotent across CLI layers)
+            return self.run.run_dp
         parts = [self.run.workspace_dp]
         if self.run.experiment_category:
             parts.append(f"_{self.run.experiment_category}")
         name = self.run.run_name or self.create_run_name()
-        self.run.run_name = name
         dp = os.path.join(*parts, name)
-        os.makedirs(dp, exist_ok=True)
+        # collision guard: timestamped names have 1 s resolution, and two
+        # runs must never share checkpoints (the reference crashes instead)
+        suffix = 0
+        while True:
+            try:
+                os.makedirs(dp if not suffix else f"{dp}_{suffix}")
+                break
+            except FileExistsError:
+                suffix += 1
+        if suffix:
+            name, dp = f"{name}_{suffix}", f"{dp}_{suffix}"
+        self.run.run_name = name
         self.run.run_dp = dp
         return dp
 
@@ -262,7 +279,14 @@ def _toml_value(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        escaped = (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+        return '"' + escaped + '"'
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_toml_value(x) for x in v) + "]"
     raise TypeError(f"cannot serialise {type(v)} to TOML")

@@ -116,7 +116,7 @@ def _parse(argv):
     it = iter(argv)
     for a in it:
         if a.startswith("--"):
-            kwargs[a[2:]] = coerce(next(it))
+            kwargs[a[2:].replace("-", "_")] = coerce(next(it))
         else:
             args.append(a)
     return args, kwargs

@@ -53,7 +53,7 @@ def latlon_to_zone_number(lat: float, lon: float) -> int:
             return 35
         if lon < 42.0:
             return 37
-    return int((lon + 180.0) / 6.0) + 1
+    return int((lon + 180.0) / 6.0) % 60 + 1
 
 
 def latitude_to_zone_letter(lat: float) -> str:

@@ -43,8 +43,9 @@ def rasterize_mean(
             native.as_double_ptr(acc), native.as_double_ptr(cnt),
         )
     else:
-        col = (cloud[:, 0] - xoff) / resolution
-        row = (yoff - cloud[:, 1]) / resolution
+        finite = np.isfinite(cloud).all(axis=1)
+        col = np.where(finite, (cloud[:, 0] - xoff) / resolution, -1.0)
+        row = np.where(finite, (yoff - cloud[:, 1]) / resolution, -1.0)
         z = cloud[:, 2]
         c0 = np.floor(col).astype(np.int64)
         r0 = np.floor(row).astype(np.int64)
@@ -53,7 +54,7 @@ def rasterize_mean(
                 rr, cc = r0 + dr, c0 + dc
                 ok = (
                     (rr >= 0) & (rr < ysize) & (cc >= 0) & (cc < xsize)
-                    & np.isfinite(z)
+                    & finite
                 )
                 if radius > 0:  # radius==0 -> exactly the containing cell
                     dist2 = ((cc + 0.5) - col) ** 2 + ((rr + 0.5) - row) ** 2
@@ -73,9 +74,11 @@ def rasterize_mean_jax(
     validation DSMs; returns (ysize, xsize) with nan for empty cells."""
     import jax.numpy as jnp
 
-    col = jnp.floor((cloud[:, 0] - xoff) / resolution).astype(jnp.int32)
-    row = jnp.floor((yoff - cloud[:, 1]) / resolution).astype(jnp.int32)
-    ok = (col >= 0) & (col < xsize) & (row >= 0) & (row < ysize)
+    finite = jnp.isfinite(cloud).all(axis=1)
+    safe = jnp.where(finite[:, None], cloud, 0.0)
+    col = jnp.floor((safe[:, 0] - xoff) / resolution).astype(jnp.int32)
+    row = jnp.floor((yoff - safe[:, 1]) / resolution).astype(jnp.int32)
+    ok = finite & (col >= 0) & (col < xsize) & (row >= 0) & (row < ysize)
     flat = jnp.where(ok, row * xsize + col, xsize * ysize)  # oob bucket
     z = jnp.where(ok, cloud[:, 2], 0.0)
     acc = jnp.zeros(xsize * ysize + 1).at[flat].add(z)

@@ -84,7 +84,6 @@ class Pipeline:
 
     # -- visualizers --------------------------------------------------------
     def visualizers(self) -> list:
-        from satnerf_tpu.models.field import VARIANTS  # noqa: F401
         from satnerf_tpu.viz import default_visualizers
 
         return default_visualizers(

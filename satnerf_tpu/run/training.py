@@ -50,8 +50,6 @@ def start_assigned_ids_from_automated(experiment_dp: str, ids: str):
     (ref: run/training.py:49-70)."""
     import os
 
-    from satnerf_tpu.configs import load_configs
-
     for exp_id in str(ids).split(","):
         exp_id = exp_id.strip()
         run_fp = os.path.join(experiment_dp, exp_id, "run.toml")

@@ -54,8 +54,16 @@ class CheckpointManager:
             self._save(f"epoch_{epoch}", state)
 
     # -- restore ---------------------------------------------------------------
-    def restore(self, template_state: TrainState, name: str = "last") -> TrainState:
-        path = os.path.join(self.ckpt_dp, name)
+    def restore(
+        self,
+        template_state: TrainState,
+        name: str = "last",
+        path: str | None = None,
+    ) -> TrainState:
+        """Restore by name from this run's ckpoints, or from an explicit
+        checkpoint directory (the reference's ckpoint_fp warm-start flow,
+        ref: framework/configs.py:33-34)."""
+        path = path or os.path.join(self.ckpt_dp, name)
         target = {
             "params": jax.device_get(template_state.params),
             "opt_state": jax.device_get(template_state.opt_state),

@@ -176,7 +176,7 @@ class Trainer:
 
         ckpt = CheckpointManager(run_dp, cfg.run.save_every_n_epochs)
         if cfg.run.resume_from_ckpoint:
-            state = ckpt.restore(state, name="last")
+            state = ckpt.restore(state, path=cfg.run.ckpoint_fp or None)
 
         # device placement (replicated across the data mesh when DP > 1)
         mesh = None
