@@ -82,3 +82,32 @@ def test_epoch_subsampling_wiring():
     for b in batches:
         seen.update(b.tolist())
     assert len(seen) == 200
+
+
+def test_run_dir_collision_gets_suffix(tmp_path):
+    cfg1 = MainConfig(
+        RunConfig(dataset_name="X", workspace_dp=str(tmp_path), run_name="same"),
+        RSSemanticConfig(),
+    )
+    cfg2 = MainConfig(
+        RunConfig(dataset_name="X", workspace_dp=str(tmp_path), run_name="same"),
+        RSSemanticConfig(),
+    )
+    dp1 = cfg1.create_run_dp()
+    dp2 = cfg2.create_run_dp()
+    assert dp1 != dp2 and dp2.endswith("_1")
+    # idempotent: second call returns the same dir
+    assert cfg1.create_run_dp() == dp1
+
+
+def test_toml_escapes_control_chars(tmp_path):
+    fp = str(tmp_path / "x.toml")
+    write_toml(fp, {"a": "line1\nline2\twith\ttabs"})
+    assert read_toml(fp)["a"] == "line1\nline2\twith\ttabs"
+
+
+def test_antimeridian_zone():
+    from satnerf_tpu.geo.utm import latlon_to_zone_number
+
+    assert latlon_to_zone_number(10.0, 180.0) == 1
+    assert latlon_to_zone_number(10.0, 179.9) == 60

@@ -53,3 +53,49 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         max_steps=stopped_at + 5, validate_every_epoch=False
     )
     assert int(state2.step) == stopped_at + 5
+
+
+def test_warm_start_from_explicit_ckpoint_fp(tmp_path):
+    """run.ckpoint_fp warm-starts a NEW run from another run's checkpoint."""
+    from satnerf_tpu.configs import MainConfig, SatNeRFConfig, RunConfig
+    from satnerf_tpu.datasets.synthetic import generate_scene
+    from satnerf_tpu.pipelines import load_pipeline
+    from satnerf_tpu.train.loop import Trainer
+
+    generate_scene(str(tmp_path / "ds" / "SYN_WS"), n_train=2, n_test=1,
+                   img_size=32, n_tie_points=60)
+    base_run = dict(
+        dataset_name="SYN_WS", datasets_dp=str(tmp_path / "ds"),
+        cache_dp=str(tmp_path / "cache"), num_sanity_val_steps=0,
+    )
+    pipe = SatNeRFConfig(
+        n_samples=4, fc_layers=2, fc_units=32, fc_skips=[1], batch_size=128,
+        depth_enabled=False, render_chunk_size=2048,
+    )
+
+    cfg1 = MainConfig(
+        RunConfig(**base_run, workspace_dp=str(tmp_path / "t1"),
+                  max_train_steps=5),
+        pipe,
+    )
+    p1 = load_pipeline(cfg1)
+    p1.prepare_run()
+    p1.load_datasets()
+    Trainer(p1, log_every=50).fit(validate_every_epoch=False)
+    donor_ckpt = os.path.join(cfg1.run.run_dp, "ckpoints", "last")
+
+    cfg2 = MainConfig(
+        RunConfig(**base_run, workspace_dp=str(tmp_path / "t2"),
+                  max_train_steps=8, resume_from_ckpoint=True,
+                  ckpoint_fp=donor_ckpt),
+        pipe,
+    )
+    p2 = load_pipeline(cfg2)
+    p2.prepare_run()
+    p2.load_datasets()
+    state = Trainer(p2, log_every=50).fit(validate_every_epoch=False)
+    # resumed from step 5 of the donor, continued to 8 in the new run dir
+    import jax
+
+    assert int(jax.device_get(state.step)) == 8
+    assert cfg2.run.run_dp != cfg1.run.run_dp
