@@ -18,6 +18,7 @@ import numpy as np
 from satnerf_tpu.eval.loader import load_run
 from satnerf_tpu.eval.semantic_metrics import (
     confusion_matrix,
+    per_class_iou,
     render_confusion_matrix_png,
     semantic_accuracy,
     semantic_miou,
@@ -88,9 +89,14 @@ def evaluate_semantic_image(
     png = render_confusion_matrix_png(cm_img, labels)
     _save_png(png, os.path.join(output_dp, img["name"] + ".png"))
 
+    ious = per_class_iou(cm_img)
     entry = {
         "semantic_accuracy": semantic_accuracy(pred, gt),
-        "mIoU": semantic_miou(cm_img),
+        "mIoU": float(np.nanmean(ious)),
+        "per_class_iou": {
+            name: (None if np.isnan(ious[i]) else round(float(ious[i]), 4))
+            for i, name in enumerate(labels)
+        },
         "uncertainty_at_transient": uncertainty_at_transient(
             res, gt, dataset.car_cls_idx
         ),

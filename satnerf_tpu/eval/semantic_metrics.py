@@ -38,8 +38,8 @@ def confusion_matrix(pred, gt, n_classes: int, normalize: str = "true") -> np.nd
     return cm
 
 
-def semantic_miou(confusion_matrix_values: np.ndarray) -> float:
-    """Semantic-NeRF mIoU from a confusion matrix (ref: metrics.py:32-44)."""
+def per_class_iou(confusion_matrix_values: np.ndarray) -> np.ndarray:
+    """IoU per class from a confusion matrix (nan for absent classes)."""
     cm = np.asarray(confusion_matrix_values, dtype=np.float64)
     n = cm.shape[0]
     ious = np.zeros(n)
@@ -47,7 +47,12 @@ def semantic_miou(confusion_matrix_values: np.ndarray) -> float:
         for c in range(n):
             denom = cm[c, :].sum() + cm[:, c].sum() - cm[c, c]
             ious[c] = cm[c, c] / denom if denom > 0 else np.nan
-    return float(np.nanmean(ious))
+    return ious
+
+
+def semantic_miou(confusion_matrix_values: np.ndarray) -> float:
+    """Semantic-NeRF mIoU from a confusion matrix (ref: metrics.py:32-44)."""
+    return float(np.nanmean(per_class_iou(confusion_matrix_values)))
 
 
 def uncertainty_at_transient(results: dict, semantic_gt, car_idx: int) -> float:
