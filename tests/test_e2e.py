@@ -100,3 +100,27 @@ def test_reload_configs_from_logs(workspace):
     assert reloaded.pipeline.variant == "rs_semantic"
     assert reloaded.pipeline.n_samples == 8
     assert reloaded.run.dataset_name == "SYN_E2E"
+
+
+def test_deterministic_runs_reproduce(workspace):
+    """Same seed -> identical training trajectory (the determinism contract
+    run/training.py documents: all randomness flows from run.seed)."""
+    import jax
+
+    def run_once(ws_name):
+        cfg = _cfg(workspace)
+        cfg.run.workspace_dp = str(workspace / ws_name)
+        cfg.run.num_sanity_val_steps = 0
+        pipeline = load_pipeline(cfg)
+        pipeline.prepare_run()
+        pipeline.load_datasets()
+        trainer = Trainer(pipeline, log_every=20)
+        state = trainer.fit(max_steps=20, validate_every_epoch=False)
+        return trainer.history[-1]["loss"], np.asarray(
+            jax.device_get(state.params["field"]["trunk"][0]["w"])
+        )
+
+    loss1, w1 = run_once("det1")
+    loss2, w2 = run_once("det2")
+    assert loss1 == loss2
+    np.testing.assert_array_equal(w1, w2)
