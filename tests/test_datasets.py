@@ -171,3 +171,23 @@ class TestEpochSampler:
         s = EpochSampler(25, 10, seed=0)
         batches = [s.next_batch() for _ in range(4)]
         assert all(b.shape == (10,) for b in batches)
+
+
+class TestCorruptionGenerator:
+    def test_corrupt_labels_rates(self):
+        """Corruption is substantial but not degenerate, and deterministic."""
+        from satnerf_tpu.data_prep.prepare_annotations import (
+            LABELS,
+            corrupt_labels,
+        )
+
+        mask = np.zeros((128, 128), np.uint8)
+        mask[20:60, 20:60] = LABELS["buildings"]
+        mask[70:100, 30:80] = LABELS["vegetation"]
+        mask[90:110, 90:120] = LABELS["water"]
+        out = corrupt_labels(mask, seed=1)
+        frac = (out != mask).mean()
+        assert 0.02 < frac < 0.6, frac
+        # deterministic per seed
+        np.testing.assert_array_equal(out, corrupt_labels(mask, seed=1))
+        assert (out != corrupt_labels(mask, seed=2)).any()
