@@ -101,6 +101,9 @@ class NeRFConfig(BaseModel):
     fc_layers: int = 8
     fc_skips: list[int] = [4]
     activation_function: str = "siren"
+    # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
+    # end-to-end on TPU); "exact": XLA's sin (see ops/fastmath.py)
+    sin_impl: str = "poly"
     mapping_pos_n_freq: int = 10
     mapping_dir_n_freq: int = 4
     fc_use_full_features: bool = False

@@ -55,6 +55,9 @@ class FieldConfig:
     feat: int = 512
     skips: tuple = (4,)
     siren: bool = True
+    # SIREN sine implementation: "poly" (fast_sin minimax polynomial,
+    # ~2e-6 abs error, ~2x faster end-to-end on TPU) or "exact" (XLA sin).
+    sin_impl: str = "poly"
     # Positional encoding usage differs per reference variant: NeRF uses
     # mapping=True + ReLU (ref: nerf.py:99-104 defaults), Shadow-NeRF and
     # SatNeRF feed RAW xyz into the SIREN trunk (mapping=False defaults,
@@ -76,6 +79,7 @@ class FieldConfig:
 
     def __post_init__(self):
         assert self.variant in VARIANTS, f"unknown variant {self.variant}"
+        assert self.sin_impl in ("poly", "exact"), self.sin_impl
 
     # -- capability flags --------------------------------------------------
     @property
@@ -219,7 +223,15 @@ def _act(cfg: FieldConfig, x, first: bool = False):
     if cfg.siren:
         # sin args are phase-sensitive: evaluate in f32 even when the GEMMs
         # run in bfloat16, then return to the compute dtype
-        y = jnp.sin((30.0 if first else 1.0) * x.astype(jnp.float32))
+        w0 = 30.0 if first else 1.0
+        if cfg.sin_impl == "poly":
+            # XLA's exact sin dominates the whole train step on TPU (VPU
+            # range reduction); the ~2e-6-accurate polynomial is ~2x
+            # end-to-end (see ops/fastmath.py and docs/performance.md)
+            from satnerf_tpu.ops.fastmath import fast_sin
+
+            return fast_sin(w0 * x.astype(jnp.float32)).astype(x.dtype)
+        y = jnp.sin(w0 * x.astype(jnp.float32))
         return y.astype(x.dtype)
     return jax.nn.relu(x)
 

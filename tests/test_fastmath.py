@@ -1,0 +1,61 @@
+"""Accuracy tests for the fast transcendental approximations
+(satnerf_tpu/ops/fastmath.py) that replace XLA's sin on the SIREN hot path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satnerf_tpu.ops.fastmath import fast_sin
+
+
+class TestFastSin:
+    def test_accuracy_siren_range(self):
+        # SIREN activations see |x| <~ 50 (w0=30 first layer on normalized
+        # coords); demand ~2e-6 there
+        x = np.linspace(-50, 50, 1_000_001).astype(np.float32)
+        got = np.asarray(fast_sin(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 3e-6
+
+    def test_accuracy_wide_range(self):
+        x = np.linspace(-1000, 1000, 2_000_001).astype(np.float32)
+        got = np.asarray(fast_sin(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 1e-5
+
+    def test_gradient_matches_cos(self):
+        x = jnp.linspace(-20.0, 20.0, 4097)
+        g = jax.vmap(jax.grad(fast_sin))(x)
+        assert np.max(np.abs(np.asarray(g) - np.cos(np.asarray(x)))) < 1e-4
+
+    def test_bfloat16_roundtrip(self):
+        x = jnp.linspace(-10.0, 10.0, 513, dtype=jnp.bfloat16)
+        y = fast_sin(x)
+        assert y.dtype == jnp.bfloat16
+        ref = np.sin(np.asarray(x, dtype=np.float32))
+        assert np.max(np.abs(np.asarray(y, dtype=np.float32) - ref)) < 1e-2
+
+    def test_field_poly_vs_exact_close(self):
+        # the two sin implementations must agree through the whole field
+        from satnerf_tpu.models.field import (
+            FieldConfig,
+            field_forward,
+            init_field_params,
+        )
+
+        key = jax.random.PRNGKey(0)
+        base = dict(variant="satnerf", layers=8, feat=512, skips=(4,),
+                    siren=True, mapping=False)
+        cfg_p = FieldConfig(sin_impl="poly", **base)
+        cfg_e = FieldConfig(sin_impl="exact", **base)
+        params = init_field_params(key, cfg_p)
+        xyz = jax.random.uniform(
+            jax.random.PRNGKey(1), (512, 3), minval=-1.0, maxval=1.0
+        )
+        sun_d = jnp.tile(jnp.array([[0.3, 0.4, -0.866]]), (512, 1))
+        t_emb = jax.random.normal(jax.random.PRNGKey(2), (512, 4)) * 0.1
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_e = field_forward(params, cfg_e, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out_e:
+            err = float(jnp.max(jnp.abs(out_p[k] - out_e[k])))
+            assert err < 5e-5, (k, err)
