@@ -4,7 +4,15 @@ Measures rays/sec of the FULL flagship training step — RS-Semantic field
 (8x512 SIREN trunk + all heads), 64 samples/ray, solar-correction pass,
 depth supervision, all loss terms and the Adam update fused in one jit —
 i.e. the exact per-step work of the reference's paper configuration
-(configs/pipelines/rs_semantic.toml: batch_size=1024, n_samples=64).
+(configs/pipelines/rs_semantic.toml: batch_size=1024, n_samples=64), at
+this port's production settings (batch 8192, bfloat16 GEMMs, fast_sin
+SIREN activations; see docs/performance.md).
+
+Methodology note (important on this tunnel): ``block_until_ready`` on the
+axon PJRT plugin returns before remote execution finishes, so naive
+dispatch-loop timing over-reports by >100x. This bench therefore scans K
+steps ON DEVICE inside one jit (``lax.scan``) and times to a forced scalar
+readback of the final loss — the only honest clock through the tunnel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` compares against the reference implementation's single-GPU
@@ -13,11 +21,10 @@ step rate: the repo publishes no number (SURVEY.md §6), so we use 10 it/s x
 on the V100/A100-class hardware the reference targets (the original SatNeRF
 reports ~10 h for 300k iterations => ~8.3 it/s).
 
-Measured points on one v5e chip (f32 matmuls, depth batch fixed at the
-reference's 1024 rays): 1.30M rays/s at the reference batch of 1024, 10.9M
-rays/s at batch 8192 (the per-chip HBM sweet spot) — the number reported
-below. At the reference's total ray budget (300k steps x 1024 rays) that is
-~30 s of device time per scene.
+Verified on one v5e chip (2026-08-16, honest readback timing): 35.5-41k
+rays/s at batch 8192 bf16 (198-225 ms/step, run-to-run drift), 26.6k rays/s
+f32 (308 ms/step), 30.5k rays/s at the reference batch of 1024 bf16
+(33.6 ms/step).
 """
 
 from __future__ import annotations
@@ -25,17 +32,21 @@ from __future__ import annotations
 import json
 import multiprocessing
 import os
-import sys
 import time
 
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 10_240.0
 
-# Most recent verified measurement on this hardware (2026-08-16, this config):
-# reported with "stale": true if the live run cannot complete (e.g. the
-# single-tenant TPU tunnel is held by another client).
-LAST_KNOWN_RAYS_PER_SEC = 10_606_660.9
+# Most recent verified measurement on this hardware (2026-08-16, honest
+# scan+readback timing, batch 8192 bf16): reported with "stale": true if
+# the live run cannot complete (e.g. the single-tenant TPU tunnel is held
+# by another client).
+LAST_KNOWN_RAYS_PER_SEC = 35_500.0
+
+BATCH_SIZE = 8192
+DEPTH_RAYS = 1024
+SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
 
 def main() -> None:
@@ -47,12 +58,9 @@ def main() -> None:
     from satnerf_tpu.train.state import create_train_state, make_optimizer
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
-    batch_size = 8192
-    depth_rays = 1024
-
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True, n_classes=5)
     rcfg = RenderConfig(
-        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="float32"
+        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="bfloat16"
     )
     scfg = StepConfig(
         render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,
@@ -61,29 +69,34 @@ def main() -> None:
     )
     opt = make_optimizer(5e-4, steps_per_epoch=1000)
     state = create_train_state(jax.random.PRNGKey(0), fcfg, opt, t_vocab=50)
-    step = jax.jit(build_train_step(scfg, opt), donate_argnums=(0,))
+    step = build_train_step(scfg, opt)
 
-    batch = _batch(batch_size, depth=depth_rays)
-    batch = jax.device_put(batch)
+    batch = jax.device_put(_batch(BATCH_SIZE, depth=DEPTH_RAYS))
 
-    # warmup / compile
+    def many_steps(state, batch, key):
+        def body(st, k):
+            st, metrics = step(st, batch, k)
+            return st, metrics["loss"]
+
+        return jax.lax.scan(body, state, jax.random.split(key, SCAN_STEPS))
+
+    many_j = jax.jit(many_steps, donate_argnums=(0,))
+
+    # warmup / compile (forced readback completes remote execution)
     key = jax.random.PRNGKey(1)
-    for i in range(3):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    state, losses = many_j(state, batch, key)
+    assert np.isfinite(float(losses[-1]))
 
-    n_steps = 50
-    t0 = time.perf_counter()
-    for i in range(n_steps):
+    best = float("inf")
+    for _ in range(3):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, losses = many_j(state, batch, sub)
+        final_loss = float(losses[-1])  # forced readback = honest clock
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(final_loss)
 
-    steps_per_sec = n_steps / dt
-    rays_per_sec = steps_per_sec * batch_size
-    assert np.isfinite(float(metrics["loss"]))
+    rays_per_sec = SCAN_STEPS * BATCH_SIZE / best
 
     print(
         json.dumps(
