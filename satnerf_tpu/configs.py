@@ -104,6 +104,8 @@ class NeRFConfig(BaseModel):
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
     # end-to-end on TPU); "exact": XLA's sin (see ops/fastmath.py)
     sin_impl: str = "poly"
+    # "xla" or "pallas" (fused VMEM-resident trunk kernel on TPU)
+    trunk_impl: str = "xla"
     mapping_pos_n_freq: int = 10
     mapping_dir_n_freq: int = 4
     fc_use_full_features: bool = False

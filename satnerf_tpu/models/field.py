@@ -58,6 +58,9 @@ class FieldConfig:
     # SIREN sine implementation: "poly" (fast_sin minimax polynomial,
     # ~2e-6 abs error, ~2x faster end-to-end on TPU) or "exact" (XLA sin).
     sin_impl: str = "poly"
+    # trunk execution: "xla" (layer-by-layer jnp ops) or "pallas" (fused
+    # VMEM-resident kernel, ops/pallas/trunk.py; SIREN-only, feat % 128 == 0)
+    trunk_impl: str = "xla"
     # Positional encoding usage differs per reference variant: NeRF uses
     # mapping=True + ReLU (ref: nerf.py:99-104 defaults), Shadow-NeRF and
     # SatNeRF feed RAW xyz into the SIREN trunk (mapping=False defaults,
@@ -80,6 +83,7 @@ class FieldConfig:
     def __post_init__(self):
         assert self.variant in VARIANTS, f"unknown variant {self.variant}"
         assert self.sin_impl in ("poly", "exact"), self.sin_impl
+        assert self.trunk_impl in ("xla", "pallas"), self.trunk_impl
 
     # -- capability flags --------------------------------------------------
     @property
@@ -219,6 +223,16 @@ def _linear(layer, x, dtype=None):
     return x @ w + b.astype(x.dtype)
 
 
+def _use_pallas_trunk(cfg: FieldConfig) -> bool:
+    return (
+        cfg.trunk_impl == "pallas"
+        and cfg.siren
+        and cfg.sin_impl == "poly"
+        and cfg.feat % 128 == 0
+        and cfg.xyz_in <= 128
+    )
+
+
 def _act(cfg: FieldConfig, x, first: bool = False):
     if cfg.siren:
         # sin args are phase-sensitive: evaluate in f32 even when the GEMMs
@@ -267,13 +281,29 @@ def field_forward(
     if dt is not None:
         enc_x = enc_x.astype(dt)
 
-    h = enc_x
-    for i, layer in enumerate(params["trunk"]):
-        if i in cfg.skips:
-            h = jnp.concatenate([enc_x, h], axis=-1)
-        h = _linear(layer, h, dt)
-        h = _act(cfg, h, first=(i == 0))
-    shared = h
+    if _use_pallas_trunk(cfg):
+        from satnerf_tpu.ops.pallas.trunk import (
+            TrunkSpec,
+            fused_trunk,
+            pack_trunk,
+        )
+
+        spec = TrunkSpec(
+            layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
+            c_in=cfg.xyz_in,
+        )
+        kdt = dt if dt is not None else jnp.float32
+        packed = pack_trunk(params["trunk"], spec, kdt)
+        interpret = jax.default_backend() != "tpu"
+        shared = fused_trunk(spec, interpret, enc_x.astype(kdt), packed)
+    else:
+        h = enc_x
+        for i, layer in enumerate(params["trunk"]):
+            if i in cfg.skips:
+                h = jnp.concatenate([enc_x, h], axis=-1)
+            h = _linear(layer, h, dt)
+            h = _act(cfg, h, first=(i == 0))
+        shared = h
 
     sigma = jax.nn.softplus(_linear(params["sigma"], shared).astype(jnp.float32))
     feats = _linear(params["feats"], shared, dt)

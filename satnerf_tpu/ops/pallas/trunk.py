@@ -1,0 +1,367 @@
+"""Fused SIREN-trunk Pallas kernel: the field's 8x512 MLP in one TPU pass.
+
+Why: XLA materialises every trunk layer's (N, 512) activations to HBM
+(forward AND backward), which together with the sine VPU work leaves the
+batch-8192 train step at ~200 ms where the MXU floor is ~90 ms
+(docs/performance.md). This kernel keeps ALL trunk weights resident in
+VMEM (~4 MB bf16), streams row tiles of the point batch through the
+layer chain in-register, and applies the fast_sin polynomial activation
+(ops/fastmath.py) between GEMMs — trunk activations never leave the chip.
+
+Equivalence: matches ``models/field.py`` trunk semantics exactly
+(ref architecture: baseline/models/nerf.py:118-134 fc_net with skip
+concat at layer 4, SIREN w0=30 first layer, ref: commons.py:21-27):
+
+    h_0 = sin(w0 * (enc_x @ W_0 + b_0))
+    h_i = sin(h_{i-1} @ W_i + b_i)            i not in skips
+    h_i = sin([enc_x, h_{i-1}] @ W_i + b_i)   i in skips
+
+The skip concat is computed as a split GEMM (x @ W_x + h @ W_h) so no
+concatenated tensor is ever built. GEMMs accumulate in f32 on the MXU
+(``preferred_element_type``), the sine runs in f32 on the VPU, and the
+activation is cast back to the compute dtype — matching the XLA path
+within compute-dtype rounding.
+
+The backward pass is a second Pallas kernel (custom VJP): it re-runs the
+forward per tile keeping the pre-activations in VMEM, then sweeps the
+layer chain in reverse. Weight/bias gradients accumulate in f32 directly
+in the (constant-index-mapped, hence VMEM-resident) output blocks across
+the sequential TPU grid; input gradients stream out per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from satnerf_tpu.ops.fastmath import (
+    _HALF_PI,
+    _INV_PI2,
+    _PI2_HI,
+    _PI2_LO,
+    _S1,
+    _S2,
+    _S3,
+    _S4,
+    _S5,
+)
+
+LANE = 128  # TPU lane width: first-layer input is padded to this
+
+
+@dataclass(frozen=True)
+class TrunkSpec:
+    """Static trunk architecture (hashable; closed over by the kernels)."""
+
+    layers: int
+    feat: int
+    skips: tuple
+    c_in: int  # true (unpadded) input width
+    w0: float = 30.0
+
+    def __post_init__(self):
+        assert self.feat % LANE == 0, "feat must be a multiple of 128"
+        assert self.c_in <= LANE, "encoded input must fit one lane tile"
+        assert 0 not in self.skips, "skip at layer 0 is not meaningful"
+
+    @property
+    def n_skip(self) -> int:
+        return max(len(self.skips), 1)
+
+
+# -----------------------------------------------------------------------
+# shared in-kernel math
+# -----------------------------------------------------------------------
+
+
+def _reduce(x):
+    """Cody-Waite range reduction to [-pi, pi] (f32)."""
+    n = jnp.round(x * _INV_PI2)
+    r = x - n * _PI2_HI
+    return r - n * _PI2_LO
+
+
+def _sin_poly(r):
+    """Odd polynomial on the [-pi/2, pi/2] fold (see ops/fastmath.py)."""
+    r2 = r * r
+    p = _S5
+    p = p * r2 + _S4
+    p = p * r2 + _S3
+    p = p * r2 + _S2
+    p = p * r2 + _S1
+    return r + r * r2 * p
+
+
+def _sin_f32(x):
+    r = _reduce(x)
+    r = jnp.where(r > _HALF_PI, np.pi - r, r)
+    r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
+    return _sin_poly(r)
+
+
+def _cos_f32(x):
+    """cos(x) = sin(pi/2 - |r|) for r the [-pi, pi] reduction of x."""
+    r = _reduce(x)
+    return _sin_poly(_HALF_PI - jnp.abs(r))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_at_b(a, b):  # a^T @ b, contracting rows
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_a_bt(a, b):  # a @ b^T, contracting b's columns
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _preact(spec: TrunkSpec, i: int, h, x, w_mid_ref, w_skip_ref, b_ref):
+    """f32 pre-activation of layer i >= 1 from the previous activation h."""
+    a = _dot(h, w_mid_ref[i - 1])
+    if i in spec.skips:
+        a = a + _dot(x, w_skip_ref[spec.skips.index(i)])
+    return a + b_ref[i : i + 1, :].astype(jnp.float32)
+
+
+# -----------------------------------------------------------------------
+# forward kernel
+# -----------------------------------------------------------------------
+
+
+def _fwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
+                out_ref):
+    dt = x_ref.dtype
+    x = x_ref[:]
+    a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
+    h = _sin_f32(spec.w0 * a0).astype(dt)
+    for i in range(1, spec.layers):
+        a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
+        h = _sin_f32(a).astype(dt)
+    out_ref[:] = h
+
+
+# -----------------------------------------------------------------------
+# backward kernel
+# -----------------------------------------------------------------------
+
+
+def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
+                g_ref, gx_ref, gw0_ref, gwmid_ref, gwskip_ref, gb_ref,
+                acts_ref):
+    """One row tile: recompute the forward (stashing pre-activations in
+    VMEM), then reverse sweep. The weight/bias gradient outputs use a
+    constant index map, so their blocks stay VMEM-resident across the
+    sequential grid and serve as the accumulators directly."""
+    dt = x_ref.dtype
+    L = spec.layers
+    x = x_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw0_ref[:] = jnp.zeros_like(gw0_ref)
+        gwmid_ref[:] = jnp.zeros_like(gwmid_ref)
+        gwskip_ref[:] = jnp.zeros_like(gwskip_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
+
+    # ---- forward recompute, stashing pre-activations ---------------------
+    a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
+    acts_ref[0, :, :] = a0.astype(dt)
+    h = _sin_f32(spec.w0 * a0).astype(dt)
+    for i in range(1, L):
+        a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
+        acts_ref[i, :, :] = a.astype(dt)
+        h = _sin_f32(a).astype(dt)
+
+    # ---- reverse sweep ----------------------------------------------------
+    g = g_ref[:].astype(jnp.float32)  # d loss / d h_{L-1}
+    gx_skip = jnp.zeros((x.shape[0], LANE), jnp.float32)
+    for i in range(L - 1, 0, -1):
+        a = acts_ref[i, :, :].astype(jnp.float32)
+        ga = g * _cos_f32(a)  # layers >= 1 use w0 = 1
+        ga_dt = ga.astype(dt)
+        h_prev = (
+            _sin_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32))
+            if i == 1
+            else _sin_f32(acts_ref[i - 1, :, :].astype(jnp.float32))
+        ).astype(dt)
+        gwmid_ref[i - 1, :, :] += _dot_at_b(h_prev, ga_dt)
+        gb_ref[i : i + 1, :] += jnp.sum(ga, axis=0, keepdims=True)
+        if i in spec.skips:
+            s = spec.skips.index(i)
+            gwskip_ref[s, :, :] += _dot_at_b(x, ga_dt)
+            gx_skip = gx_skip + _dot_a_bt(ga_dt, w_skip_ref[s])
+        g = _dot_a_bt(ga_dt, w_mid_ref[i - 1])
+
+    # layer 0: h_0 = sin(w0 * a0)
+    ga0 = g * _cos_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32)) * spec.w0
+    ga0_dt = ga0.astype(dt)
+    gw0_ref[:] += _dot_at_b(x, ga0_dt)
+    gb_ref[0:1, :] += jnp.sum(ga0, axis=0, keepdims=True)
+    gx_ref[:] = (_dot_a_bt(ga0_dt, w0_ref[:]) + gx_skip).astype(dt)
+
+
+# -----------------------------------------------------------------------
+# host-side wrappers
+# -----------------------------------------------------------------------
+
+
+def pack_trunk(trunk_params: list, spec: TrunkSpec, dtype) -> dict:
+    """Pack the per-layer {'w','b'} list of models/field.py into the padded
+    stacked arrays the kernels consume. Pure jnp (pads/stacks/slices), so
+    it runs under jit and is transparently differentiable: gradients flow
+    back to the original per-layer pytree through its transpose."""
+    F, L = spec.feat, spec.layers
+    w0 = trunk_params[0]["w"].astype(dtype)
+    w0p = jnp.zeros((LANE, F), dtype).at[: spec.c_in, :].set(w0)
+    mids, skips = [], []
+    for i in range(1, L):
+        w = trunk_params[i]["w"]
+        if i in spec.skips:
+            # reference concat order is [enc_x, h] (models/field.py:261)
+            wx = w[: spec.c_in, :].astype(dtype)
+            wh = w[spec.c_in :, :].astype(dtype)
+            skips.append(jnp.zeros((LANE, F), dtype).at[: spec.c_in, :].set(wx))
+            mids.append(wh)
+        else:
+            mids.append(w.astype(dtype))
+    w_mid = jnp.stack(mids)  # (L-1, F, F)
+    w_skip = (
+        jnp.stack(skips)
+        if skips
+        else jnp.zeros((1, LANE, F), dtype)  # placeholder, never indexed
+    )
+    b = jnp.stack([trunk_params[i]["b"] for i in range(L)]).astype(jnp.float32)
+    return {"w0": w0p, "w_mid": w_mid, "w_skip": w_skip, "b": b}
+
+
+def _pad_rows(x, tile):
+    n = x.shape[0]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+def _pad_lanes(x):
+    c = x.shape[1]
+    if c < LANE:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], LANE - c), x.dtype)], axis=1
+        )
+    return x
+
+
+FWD_TILE = 512
+BWD_TILE = 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_trunk(spec: TrunkSpec, interpret: bool, x, packed):
+    """x: (N, c_in) points in compute dtype -> (N, feat) trunk activations.
+
+    ``packed`` comes from :func:`pack_trunk`. Differentiable in both ``x``
+    and ``packed`` (custom VJP backed by the backward kernel).
+    """
+    out, _ = _fused_trunk_fwd(spec, interpret, x, packed)
+    return out
+
+
+def _fused_trunk_fwd(spec, interpret, x, packed):
+    F = spec.feat
+    xp, n = _pad_rows(_pad_lanes(x), FWD_TILE)
+    n_pad = xp.shape[0]
+    kern = functools.partial(_fwd_kernel, spec)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_pad // FWD_TILE,),
+        in_specs=[
+            pl.BlockSpec((FWD_TILE, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.layers - 1, F, F), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.n_skip, LANE, F), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.layers, F), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FWD_TILE, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), x.dtype),
+        interpret=interpret,
+    )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"])
+    return out[:n], (x, packed)
+
+
+def _fused_trunk_bwd(spec, interpret, res, g):
+    x, packed = res
+    F, L = spec.feat, spec.layers
+    tile = BWD_TILE
+    xp, n = _pad_rows(_pad_lanes(x), tile)
+    gp, _ = _pad_rows(g.astype(x.dtype), tile)
+    n_pad = xp.shape[0]
+    kern = functools.partial(_bwd_kernel, spec)
+    const3 = lambda i: (0, 0, 0)
+    const2 = lambda i: (0, 0)
+    gx, gw0, gwmid, gwskip, gb = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, F), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, F, F), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.n_skip, LANE, F), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, F), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, F), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, F, F), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.n_skip, LANE, F), const3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, F), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, LANE), x.dtype),
+            jax.ShapeDtypeStruct((LANE, F), jnp.float32),
+            jax.ShapeDtypeStruct((L - 1, F, F), jnp.float32),
+            jax.ShapeDtypeStruct((spec.n_skip, LANE, F), jnp.float32),
+            jax.ShapeDtypeStruct((L, F), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, tile, F), x.dtype),  # stashed pre-activations
+        ],
+        interpret=interpret,
+    )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"], gp)
+
+    c = x.shape[1]
+    gx = gx[:n, :c]
+    g_packed = {
+        "w0": gw0.astype(packed["w0"].dtype),
+        "w_mid": gwmid.astype(packed["w_mid"].dtype),
+        "w_skip": gwskip.astype(packed["w_skip"].dtype),
+        "b": gb.astype(packed["b"].dtype),
+    }
+    return gx.astype(x.dtype), g_packed
+
+
+fused_trunk.defvjp(_fused_trunk_fwd, _fused_trunk_bwd)

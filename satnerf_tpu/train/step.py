@@ -288,6 +288,7 @@ def step_config_from_main(
         skips=tuple(p.fc_skips),
         siren=p.activation_function == "siren",
         sin_impl=getattr(p, "sin_impl", "poly"),
+        trunk_impl=getattr(p, "trunk_impl", "xla"),
         mapping=p.use_mapping,
         mapping_pos_n_freq=p.mapping_pos_n_freq,
         mapping_dir_n_freq=p.mapping_dir_n_freq,

@@ -1,0 +1,156 @@
+"""Numerics tests for the fused Pallas SIREN-trunk kernel
+(satnerf_tpu/ops/pallas/trunk.py) against the reference XLA layer chain.
+Runs in interpreter mode on the CPU test backend."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from satnerf_tpu.models.field import (
+    FieldConfig,
+    field_forward,
+    init_field_params,
+)
+from satnerf_tpu.ops.pallas.trunk import TrunkSpec, fused_trunk, pack_trunk
+
+
+def _cfg_pair(**kw):
+    base = dict(variant="satnerf", siren=True, **kw)
+    return (
+        FieldConfig(trunk_impl="xla", **base),
+        FieldConfig(trunk_impl="pallas", **base),
+    )
+
+
+def _inputs(key, n, cfg):
+    k1, k2, k3 = jax.random.split(key, 3)
+    xyz = jax.random.uniform(k1, (n, 3), minval=-1.0, maxval=1.0)
+    sun_d = jnp.tile(jnp.array([[0.3, 0.4, -0.866]]), (n, 1))
+    t_emb = jax.random.normal(k3, (n, cfg.t_embedding_tau)) * 0.1
+    return xyz, sun_d, t_emb
+
+
+CASES = [
+    # (layers, feat, skips, mapping, n)
+    (8, 512, (4,), True, 700),     # flagship shape, ragged row count
+    (8, 512, (4,), False, 512),    # raw-xyz SIREN (satnerf default)
+    (3, 128, (1,), True, 130),     # small, odd N
+    (2, 128, (), False, 256),      # no skip
+    (4, 256, (1, 3), True, 384),   # multiple skips
+]
+
+
+class TestFusedTrunkForward:
+    @pytest.mark.parametrize("layers,feat,skips,mapping,n", CASES)
+    def test_matches_xla_path(self, layers, feat, skips, mapping, n):
+        cfg_x, cfg_p = _cfg_pair(
+            layers=layers, feat=feat, skips=skips, mapping=mapping
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), n, cfg_x)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        assert set(out_x) == set(out_p)
+        for k in out_x:
+            assert out_p[k].shape == out_x[k].shape
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-5, (k, err)
+
+    def test_bfloat16_compute(self):
+        cfg_x, cfg_p = _cfg_pair(layers=3, feat=128, skips=(1,), mapping=True)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 200, cfg_x)
+        out_x = field_forward(
+            params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb,
+            compute_dtype=jnp.bfloat16,
+        )
+        out_p = field_forward(
+            params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb,
+            compute_dtype=jnp.bfloat16,
+        )
+        for k in out_x:
+            err = float(jnp.max(jnp.abs(out_x[k].astype(jnp.float32)
+                                        - out_p[k].astype(jnp.float32))))
+            assert err < 0.1, (k, err)  # bf16 rounding dominates
+
+    def test_under_jit(self):
+        cfg_x, cfg_p = _cfg_pair(layers=3, feat=128, skips=(1,), mapping=False)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 257, cfg_x)
+        f = jax.jit(
+            lambda p, x: field_forward(p, cfg_p, x, sun_d=sun_d, t_emb=t_emb)
+        )
+        out_j = f(params, xyz)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out_x:
+            assert float(jnp.max(jnp.abs(out_j[k] - out_x[k]))) < 5e-5
+
+
+class TestFusedTrunkBackward:
+    @pytest.mark.parametrize(
+        "layers,feat,skips,mapping,n", [CASES[0], CASES[3], CASES[4]]
+    )
+    def test_grads_match_xla_path(self, layers, feat, skips, mapping, n):
+        cfg_x, cfg_p = _cfg_pair(
+            layers=layers, feat=feat, skips=skips, mapping=mapping
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), n, cfg_x)
+
+        def loss(cfg):
+            def f(p, x):
+                o = field_forward(p, cfg, x, sun_d=sun_d, t_emb=t_emb)
+                return sum(jnp.sum(v ** 2) for v in o.values())
+            return f
+
+        gx = jax.grad(loss(cfg_x), argnums=(0, 1))(params, xyz)
+        gp = jax.grad(loss(cfg_p), argnums=(0, 1))(params, xyz)
+        fx, _ = ravel_pytree(gx)
+        fp, _ = ravel_pytree(gp)
+        fx, fp = np.asarray(fx), np.asarray(fp)
+        # overall gradient direction must agree tightly; elementwise noise
+        # from the cos-approximation in the backward kernel is ~1e-4 abs
+        norm_rel = abs(np.linalg.norm(fx) - np.linalg.norm(fp)) / np.linalg.norm(fx)
+        assert norm_rel < 1e-4
+        cos_sim = float(fx @ fp / (np.linalg.norm(fx) * np.linalg.norm(fp)))
+        assert cos_sim > 1.0 - 1e-6
+        denom = np.maximum(np.abs(fx), 1e-1 * np.abs(fx).mean() + 1e-3)
+        assert np.max(np.abs(fx - fp) / denom) < 0.05
+
+    def test_value_and_grad_finite_bf16(self):
+        cfg_x, cfg_p = _cfg_pair(layers=3, feat=128, skips=(1,), mapping=True)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 128, cfg_x)
+
+        def f(p):
+            o = field_forward(
+                p, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb,
+                compute_dtype=jnp.bfloat16,
+            )
+            return jnp.sum(o["sigma"]) + jnp.sum(o["rgb"])
+
+        v, g = jax.value_and_grad(f)(params)
+        flat, _ = ravel_pytree(g)
+        assert np.isfinite(float(v))
+        assert np.all(np.isfinite(np.asarray(flat)))
+
+
+class TestPackTrunk:
+    def test_pack_shapes(self):
+        cfg = FieldConfig(
+            variant="satnerf", layers=8, feat=512, skips=(4,), siren=True,
+            mapping=True,
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg)
+        spec = TrunkSpec(layers=8, feat=512, skips=(4,), c_in=cfg.xyz_in)
+        packed = pack_trunk(params["trunk"], spec, jnp.float32)
+        assert packed["w0"].shape == (128, 512)
+        assert packed["w_mid"].shape == (7, 512, 512)
+        assert packed["w_skip"].shape == (1, 128, 512)
+        assert packed["b"].shape == (8, 512)
+        # zero padding beyond the true input width
+        assert float(jnp.abs(packed["w0"][cfg.xyz_in:, :]).max()) == 0.0
