@@ -223,7 +223,7 @@ def _linear(layer, x, dtype=None):
     return x @ w + b.astype(x.dtype)
 
 
-def _use_pallas_trunk(cfg: FieldConfig) -> bool:
+def _pallas_ok(cfg: FieldConfig) -> bool:
     return (
         cfg.trunk_impl == "pallas"
         and cfg.siren
@@ -231,6 +231,22 @@ def _use_pallas_trunk(cfg: FieldConfig) -> bool:
         and cfg.feat % 128 == 0
         and cfg.xyz_in <= 128
     )
+
+
+def _use_pallas_field(cfg: FieldConfig) -> bool:
+    """Full trunk+heads fusion (ops/pallas/field_fused.py)."""
+    return (
+        _pallas_ok(cfg)
+        and cfg.has_sun  # nerf's view-dir rgb head is not in the kernel
+        and cfg.feat_last % 128 == 0
+        and not cfg.use_tj_instead_of_beta
+        and not cfg.use_separate_beta_for_s
+    )
+
+
+def _use_pallas_trunk(cfg: FieldConfig) -> bool:
+    """Trunk-only fusion (ops/pallas/trunk.py); heads stay in XLA."""
+    return _pallas_ok(cfg)
 
 
 def _act(cfg: FieldConfig, x, first: bool = False):
@@ -280,6 +296,11 @@ def field_forward(
     enc_x = positional_encoding(xyz, cfg.mapping_pos_n_freq) if cfg.mapping else xyz
     if dt is not None:
         enc_x = enc_x.astype(dt)
+
+    if _use_pallas_field(cfg):
+        return _fused_field_forward(
+            params, cfg, enc_x, sun_d, t_emb, t_s_emb, dt
+        )
 
     if _use_pallas_trunk(cfg):
         from satnerf_tpu.ops.pallas.trunk import (
@@ -362,4 +383,57 @@ def field_forward(
             logits = jax.nn.sigmoid(logits)
         out["semantic"] = logits
 
+    return out
+
+
+def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
+                         t_s_emb, dt):
+    """Full trunk+heads evaluation through the fused Pallas kernel
+    (ops/pallas/field_fused.py) + the column-wise nonlinearity epilogue.
+    Output dict is identical to the XLA path's."""
+    from satnerf_tpu.ops.pallas.field_fused import (
+        COL_BETA,
+        COL_RGB,
+        COL_SEM,
+        COL_SIGMA,
+        COL_SKY,
+        COL_SUN,
+        FieldSpec,
+        fused_field,
+        pack_aux,
+        pack_heads,
+    )
+    from satnerf_tpu.ops.pallas.trunk import TrunkSpec, pack_trunk
+
+    kdt = dt if dt is not None else jnp.float32
+    tspec = TrunkSpec(
+        layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
+        c_in=cfg.xyz_in,
+    )
+    spec = FieldSpec(
+        trunk=tspec, fl=cfg.feat_last, tau=cfg.t_embedding_tau,
+        n_classes=cfg.n_classes, has_beta=cfg.has_beta,
+        has_semantic=cfg.has_semantic, use_tj_for_s=cfg.use_tj_for_s,
+        sep_t_s=cfg.use_separate_tj_for_semantic,
+    )
+    packed_trunk = pack_trunk(params["trunk"], tspec, kdt)
+    packed_heads = pack_heads(params, spec, kdt)
+    aux = pack_aux(spec, sun_d, t_emb, t_s_emb, kdt)
+    interpret = jax.default_backend() != "tpu"
+    raw = fused_field(
+        spec, interpret, enc_x.astype(kdt), aux, packed_trunk, packed_heads
+    )
+
+    out = {"sigma": jax.nn.softplus(raw[:, COL_SIGMA])}
+    rgb = jax.nn.sigmoid(raw[:, COL_RGB : COL_RGB + 3])
+    out["rgb"] = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
+    out["sun_v"] = jax.nn.sigmoid(raw[:, COL_SUN : COL_SUN + 1])
+    out["sky"] = jax.nn.sigmoid(raw[:, COL_SKY : COL_SKY + 3])
+    if cfg.has_beta:
+        out["beta"] = jax.nn.softplus(raw[:, COL_BETA : COL_BETA + 1])
+    if cfg.has_semantic:
+        logits = raw[:, COL_SEM : COL_SEM + cfg.n_classes]
+        if cfg.semantic_sigmoid:
+            logits = jax.nn.sigmoid(logits)
+        out["semantic"] = logits
     return out

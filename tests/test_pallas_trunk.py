@@ -154,3 +154,89 @@ class TestPackTrunk:
         assert packed["b"].shape == (8, 512)
         # zero padding beyond the true input width
         assert float(jnp.abs(packed["w0"][cfg.xyz_in:, :]).max()) == 0.0
+
+
+class TestFusedFullField:
+    """Full trunk+heads kernel (ops/pallas/field_fused.py) vs the XLA path."""
+
+    @pytest.mark.parametrize(
+        "variant,mapping,flags",
+        [
+            ("rs_semantic", True, {}),
+            ("rs_semantic", True, {"use_tj_for_s": True}),
+            ("rs_semantic", True, {"semantic_sigmoid": False}),
+            ("satnerf", False, {}),
+            ("snerf", False, {}),
+        ],
+    )
+    def test_forward_matches(self, variant, mapping, flags):
+        base = dict(layers=4, feat=256, skips=(2,), siren=True,
+                    mapping=mapping, n_classes=5, **flags)
+        cfg_x = FieldConfig(variant=variant, trunk_impl="xla", **base)
+        cfg_p = FieldConfig(variant=variant, trunk_impl="pallas", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 300, cfg_x)
+        if variant == "snerf":
+            t_emb = None
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        assert set(out_x) == set(out_p)
+        for k in out_x:
+            assert out_p[k].shape == out_x[k].shape
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-5, (k, err)
+
+    def test_grads_match(self):
+        base = dict(variant="rs_semantic", layers=4, feat=256, skips=(2,),
+                    siren=True, mapping=True, n_classes=5)
+        cfg_x = FieldConfig(trunk_impl="xla", **base)
+        cfg_p = FieldConfig(trunk_impl="pallas", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 260, cfg_x)
+
+        def loss(cfg):
+            def f(p, x):
+                o = field_forward(p, cfg, x, sun_d=sun_d, t_emb=t_emb)
+                return sum(jnp.sum(v ** 2) for v in o.values())
+            return f
+
+        gx = jax.grad(loss(cfg_x), argnums=(0, 1))(params, xyz)
+        gp = jax.grad(loss(cfg_p), argnums=(0, 1))(params, xyz)
+        fx, _ = ravel_pytree(gx)
+        fp, _ = ravel_pytree(gp)
+        fx, fp = np.asarray(fx), np.asarray(fp)
+        cos = float(fx @ fp / (np.linalg.norm(fx) * np.linalg.norm(fp)))
+        assert cos > 1.0 - 1e-6
+        assert abs(np.linalg.norm(fx) - np.linalg.norm(fp)) < 1e-3 * np.linalg.norm(fx)
+
+    def test_separate_semantic_embedding(self):
+        base = dict(variant="rs_semantic", layers=2, feat=128, skips=(1,),
+                    siren=True, mapping=True, n_classes=5,
+                    use_tj_for_s=True, use_separate_tj_for_semantic=True)
+        cfg_x = FieldConfig(trunk_impl="xla", **base)
+        cfg_p = FieldConfig(trunk_impl="pallas", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 150, cfg_x)
+        t_s = jax.random.normal(jax.random.PRNGKey(5), t_emb.shape) * 0.1
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb,
+                              t_s_emb=t_s)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb,
+                              t_s_emb=t_s)
+        for k in out_x:
+            assert float(jnp.max(jnp.abs(out_x[k] - out_p[k]))) < 5e-5
+
+    def test_unsupported_flags_fall_back(self):
+        # use_separate_beta_for_s is not in the kernel -> must still work
+        # (XLA fallback) and agree with the xla-impl config
+        base = dict(variant="rs_semantic", layers=2, feat=128, skips=(1,),
+                    siren=True, mapping=True, n_classes=5,
+                    use_separate_beta_for_s=True)
+        cfg_x = FieldConfig(trunk_impl="xla", **base)
+        cfg_p = FieldConfig(trunk_impl="pallas", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 100, cfg_x)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        assert "beta_semantic" not in out_x  # separate beta key name check
+        for k in out_x:
+            assert float(jnp.max(jnp.abs(out_x[k] - out_p[k]))) < 5e-5
