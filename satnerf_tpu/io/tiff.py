@@ -13,9 +13,9 @@ the TPU image). Supports the subset the satellite pipelines need
   image files exactly as GDAL writes them;
 * the GDAL_NODATA ascii tag (42113).
 
-Reading files produced by GDAL works as long as they are striped and use
-one of the supported compressions (DFC2019 distribution tifs qualify);
-tiled TIFFs raise a clear error.
+Reading files produced by GDAL works for striped AND tiled layouts with
+any of the supported compressions (DFC2019 distribution tifs are striped;
+tiled support covers GDAL's ``-co TILED=YES`` outputs).
 """
 
 from __future__ import annotations
@@ -43,6 +43,9 @@ T_STRIP_COUNTS = 279
 T_PLANAR = 284
 T_PREDICTOR = 317
 T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_COUNTS = 325
 T_SAMPLE_FORMAT = 339
 T_PIXEL_SCALE = 33550
 T_TIEPOINT = 33922
@@ -247,9 +250,6 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
             tags[tid] = [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(n)]
         pos += 12
 
-    if T_TILE_WIDTH in tags:
-        raise NotImplementedError(f"{fp}: tiled TIFFs are not supported")
-
     w = int(tags[T_WIDTH][0])
     h = int(tags[T_HEIGHT][0])
     count = int(tags.get(T_SAMPLES, [1])[0])
@@ -266,12 +266,7 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
         (32, 3): np.float32, (64, 3): np.float64,
     }[(bits, sample_format)]
 
-    offsets = tags[T_STRIP_OFFSETS]
-    counts = tags[T_STRIP_COUNTS]
-    rows_per_strip = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
-
-    chunks = []
-    for off, cnt in zip(offsets, counts):
+    def _decode(off, cnt):
         raw = buf[int(off) : int(off) + int(cnt)]
         if compression == 8 or compression == 32946:
             raw = zlib.decompress(raw)
@@ -279,13 +274,43 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
             raw = _lzw_decode(raw)
         elif compression != 1:
             raise NotImplementedError(f"{fp}: compression {compression}")
-        chunks.append(raw)
+        return raw
 
-    data = b"".join(chunks)
-    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder(bo))
-    arr = arr[: h * w * count].reshape(h, w, count)
-    if predictor == 2:  # horizontal differencing
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
+    np_dt = np.dtype(dtype).newbyteorder(bo)
+
+    if T_TILE_WIDTH in tags:
+        # tiled layout: row-major grid of (tl x tw) interleaved tiles,
+        # edge tiles padded to the full tile size
+        tw = int(tags[T_TILE_WIDTH][0])
+        tl = int(tags[T_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + tl - 1) // tl
+        offsets = tags[T_TILE_OFFSETS]
+        counts = tags[T_TILE_COUNTS]
+        assert len(offsets) == tiles_x * tiles_y, (
+            f"{fp}: {len(offsets)} tiles for a {tiles_y}x{tiles_x} grid"
+        )
+        arr = np.zeros((h, w, count), dtype)
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                raw = _decode(*[
+                    offsets[ty * tiles_x + tx], counts[ty * tiles_x + tx]
+                ])
+                tile = np.frombuffer(raw, dtype=np_dt)[: tl * tw * count]
+                tile = tile.reshape(tl, tw, count)
+                if predictor == 2:  # per-tile horizontal differencing
+                    tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
+                ys, xs = ty * tl, tx * tw
+                ny, nx = min(tl, h - ys), min(tw, w - xs)
+                arr[ys : ys + ny, xs : xs + nx] = tile[:ny, :nx]
+    else:
+        offsets = tags[T_STRIP_OFFSETS]
+        counts = tags[T_STRIP_COUNTS]
+        data = b"".join(_decode(o, c) for o, c in zip(offsets, counts))
+        arr = np.frombuffer(data, dtype=np_dt)
+        arr = arr[: h * w * count].reshape(h, w, count)
+        if predictor == 2:  # horizontal differencing (strips span full rows)
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
     arr = np.moveaxis(arr, -1, 0).copy()
 
     transform = None

@@ -109,3 +109,76 @@ def test_image_helpers(tmp_path):
     save_output_image(pred, out, source_fp=fp)
     arr, _ = read_geotiff(out)
     np.testing.assert_allclose(arr[0], pred)
+
+
+def _write_tiled_tiff(fp, arr, tile=16, compress=True):
+    """Minimal tiled-TIFF writer for testing the reader's tile path
+    (GDAL-style: row-major tile grid, edge tiles padded)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    ty = (h + tile - 1) // tile
+    tx = (w + tile - 1) // tile
+    tiles = []
+    for j in range(ty):
+        for i in range(tx):
+            block = np.zeros((tile, tile), arr.dtype)
+            sub = arr[j * tile : (j + 1) * tile, i * tile : (i + 1) * tile]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            raw = block.tobytes()
+            tiles.append(zlib.compress(raw) if compress else raw)
+
+    bits = arr.dtype.itemsize * 8
+    sample_format = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
+    n_tags = 12
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    ext = ifd_off + ifd_size
+    offsets_payload_off = ext
+    counts_payload_off = offsets_payload_off + 4 * len(tiles)
+    data_off = counts_payload_off + 4 * len(tiles)
+    offs, cur = [], data_off
+    for t in tiles:
+        offs.append(cur)
+        cur += len(t)
+
+    def entry(tid, ftype, n, value):
+        return struct.pack("<HHI", tid, ftype, n) + value
+
+    e = []
+    e.append(entry(256, 4, 1, struct.pack("<I", w)))
+    e.append(entry(257, 4, 1, struct.pack("<I", h)))
+    e.append(entry(258, 3, 1, struct.pack("<HH", bits, 0)))
+    e.append(entry(259, 3, 1, struct.pack("<HH", 8 if compress else 1, 0)))
+    e.append(entry(262, 3, 1, struct.pack("<HH", 1, 0)))
+    e.append(entry(277, 3, 1, struct.pack("<HH", 1, 0)))
+    e.append(entry(284, 3, 1, struct.pack("<HH", 1, 0)))
+    e.append(entry(322, 4, 1, struct.pack("<I", tile)))
+    e.append(entry(323, 4, 1, struct.pack("<I", tile)))
+    e.append(entry(324, 4, len(tiles), struct.pack("<I", offsets_payload_off)))
+    e.append(entry(325, 4, len(tiles), struct.pack("<I", counts_payload_off)))
+    e.append(entry(339, 3, 1, struct.pack("<HH", sample_format, 0)))
+    out = bytearray(b"II*\0" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_tags) + b"".join(e) + struct.pack("<I", 0)
+    out += struct.pack("<%dI" % len(tiles), *offs)
+    out += struct.pack("<%dI" % len(tiles), *[len(t) for t in tiles])
+    for t in tiles:
+        out += t
+    fp.write_bytes(bytes(out))
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "float32"])
+@pytest.mark.parametrize("compress", [True, False])
+def test_tiled_tiff_read(tmp_path, dtype, compress):
+    # 37x29 exercises partial edge tiles in both axes
+    rng = np.random.default_rng(0)
+    if dtype == "uint8":
+        arr = rng.integers(0, 255, (37, 29)).astype(np.uint8)
+    else:
+        arr = rng.normal(size=(37, 29)).astype(np.float32)
+    fp = tmp_path / "tiled.tif"
+    _write_tiled_tiff(fp, arr, tile=16, compress=compress)
+    got, profile = read_geotiff(str(fp))
+    assert profile.width == 29 and profile.height == 37
+    np.testing.assert_array_equal(got[0], arr)
