@@ -133,3 +133,49 @@ def test_trainer_data_parallel_smoke(tmp_path):
     state = trainer.fit(validate_every_epoch=True)
     assert int(jax.device_get(state.step)) == 6
     assert np.isfinite(trainer.history[-1]["loss"])
+
+
+def test_dp_sharded_step_with_pallas_kernels():
+    """The fused Pallas field kernels must compose with the data-parallel
+    sharded train step (same loss + params as the single-device XLA path)."""
+    from satnerf_tpu.train.state import create_train_state, make_optimizer
+    from satnerf_tpu.train.step import StepConfig, build_train_step
+    from satnerf_tpu.render.renderer import RenderConfig
+    from satnerf_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    import __graft_entry__ as graft
+
+    mesh = make_mesh(8)
+    repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+    opt = make_optimizer(5e-4, steps_per_epoch=100)
+
+    def one_step(trunk_impl, sharded):
+        fcfg = FieldConfig(
+            variant="rs_semantic", layers=2, feat=256, skips=(1,),
+            mapping=True, siren=True, n_classes=5, trunk_impl=trunk_impl,
+        )
+        rcfg = RenderConfig(field=fcfg, n_samples=8, solar_correction=True)
+        scfg = StepConfig(render=rcfg, steps_per_epoch=100, sc_lambda=0.05,
+                          first_beta_epoch=0, semantic=True, car_index=4)
+        state = create_train_state(jax.random.PRNGKey(0), fcfg, opt, t_vocab=50)
+        step = build_train_step(scfg, opt)
+        batch = graft._batch(256)
+        if sharded:
+            state = jax.device_put(state, repl)
+            batch = {k: jax.device_put(v, data) for k, v in batch.items()}
+            step = jax.jit(step, in_shardings=(repl, data, repl),
+                           out_shardings=(repl, repl))
+        else:
+            step = jax.jit(step)
+        return step(state, batch, jax.random.PRNGKey(1))
+
+    st_p, m_p = one_step("pallas", sharded=True)
+    st_x, m_x = one_step("xla", sharded=False)
+    assert abs(float(m_p["loss"]) - float(m_x["loss"])) < 1e-5
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), st_p.params, st_x.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
