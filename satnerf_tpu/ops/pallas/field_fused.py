@@ -289,10 +289,10 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
     return out + hp["b_small"][0:1, :]
 
 
-def _fwd_kernel(spec: FieldSpec, keys, x_ref, aux_ref, tw0, twmid, twskip,
-                tb, *refs):
+def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
+                tw0, twmid, twskip, tb, *refs):
     head_refs = refs[: len(keys)]
-    out_ref, shared_ref = refs[len(keys)], refs[len(keys) + 1]
+    out_ref = refs[len(keys)]
     tspec = spec.trunk
     dt = x_ref.dtype
     x = x_ref[:]
@@ -305,7 +305,8 @@ def _fwd_kernel(spec: FieldSpec, keys, x_ref, aux_ref, tw0, twmid, twskip,
             a = a + _dot(x, twskip[tspec.skips.index(i)])
         a = a + tb[i : i + 1, :].astype(jnp.float32)
         h = _sin_f32(a).astype(dt)
-    shared_ref[:] = h
+    if emit_shared:  # backward residual; skipped on the eval path
+        refs[len(keys) + 1][:] = h
 
     hp = {k: r[:] for k, r in zip(keys, head_refs)}
     out_ref[:] = _heads_forward(spec, h, aux_ref[:], hp).astype(jnp.float32)
@@ -334,14 +335,17 @@ def fused_field(spec: FieldSpec, interpret: bool, x, aux, packed_trunk,
     """(N, c_in) points + (N, 128) aux -> (N, 128) raw packed head outputs.
 
     Differentiable in x, aux and both packed-weight pytrees (custom VJP
-    backed by the heads + trunk backward kernels).
+    backed by the heads + trunk backward kernels). When NOT being
+    differentiated (eval/render), the kernel skips emitting the (N, F)
+    ``shared`` backward residual.
     """
-    out, _ = _fused_field_fwd(spec, interpret, x, aux, packed_trunk,
-                              packed_heads)
+    out, _ = _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
+                       emit_shared=False)
     return out
 
 
-def _fused_field_fwd(spec, interpret, x, aux, packed_trunk, packed_heads):
+def _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
+              emit_shared: bool):
     tspec = spec.trunk
     F = tspec.feat
     xp, n = _pad_rows(_pad_lanes(x), FWD_TILE)
@@ -350,9 +354,15 @@ def _fused_field_fwd(spec, interpret, x, aux, packed_trunk, packed_heads):
 
     keys = spec.head_keys()
     head_arrays = [packed_heads[k] for k in keys]
-    kern = functools.partial(_fwd_kernel, spec, keys)
+    kern = functools.partial(_fwd_kernel, spec, keys, emit_shared)
 
-    out, shared = pl.pallas_call(
+    out_specs = [_row_spec(FWD_TILE, LANE)]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
+    if emit_shared:
+        out_specs.append(_row_spec(FWD_TILE, F))
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, F), x.dtype))
+
+    outs = pl.pallas_call(
         kern,
         grid=(n_pad // FWD_TILE,),
         in_specs=[
@@ -363,20 +373,21 @@ def _fused_field_fwd(spec, interpret, x, aux, packed_trunk, packed_heads):
             _whole(packed_trunk["w_skip"]),
             _whole(packed_trunk["b"]),
         ] + [_whole(a) for a in head_arrays],
-        out_specs=[
-            _row_spec(FWD_TILE, LANE),
-            _row_spec(FWD_TILE, F),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, F), x.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xp, auxp, packed_trunk["w0"], packed_trunk["w_mid"],
       packed_trunk["w_skip"], packed_trunk["b"], *head_arrays)
 
-    res = (x, aux, packed_trunk, packed_heads, shared[:n])
-    return out[:n], res
+    if emit_shared:
+        return outs[0][:n], outs[1][:n]
+    return outs[0][:n], None
+
+
+def _fused_field_fwd(spec, interpret, x, aux, packed_trunk, packed_heads):
+    out, shared = _fwd_call(spec, interpret, x, aux, packed_trunk,
+                            packed_heads, emit_shared=True)
+    return out, (x, aux, packed_trunk, packed_heads, shared)
 
 
 # -----------------------------------------------------------------------
