@@ -51,6 +51,12 @@ class RunConfig(BaseModel):
 
     # device / precision (TPU-native replacements for gpu_id etc.)
     data_parallel: int = 1  # devices on the 'data' mesh axis
+    # >1: lax.scan this many train steps inside ONE device dispatch. Removes
+    # per-step host dispatch latency (significant for small ray batches and
+    # for remote-tunneled devices); boundaries (logging, epoch ends, the
+    # depth-supervision drop, preemption checks) stay step-accurate because
+    # blocks never cross them.
+    steps_per_dispatch: int = 1
     matmul_precision: str = "high"  # "highest" | "high" | "default"
     device_req_free: bool = True  # refuse to share the single-tenant TPU
 

@@ -44,34 +44,70 @@ from satnerf_tpu.train.state import create_train_state, make_optimizer
 from satnerf_tpu.train.step import build_train_step
 
 
-def _make_step_fn(scfg, optimizer, with_depth: bool, mesh=None):
+def _make_step_fn(scfg, optimizer, with_depth: bool, mesh=None,
+                  scan_steps: int = 1):
     """jitted (state, store, depth_store, idx, depth_idx, key) -> ...
 
     Under data parallelism the index vectors are sharded along the 'data'
     axis while stores/state/key stay replicated: the gather then yields a
     batch sharded over rays, the mean-reductions in the loss make XLA insert
     the gradient psum, and the updated (replicated) state comes back.
+
+    With ``scan_steps`` K > 1, the index arrays carry a leading (K,) axis
+    and K steps run on-device under one dispatch (lax.scan); the returned
+    metrics are those of the LAST step in the block, matching what the
+    per-step path would log at the same step index.
+
+    The per-step PRNG key is ``fold_in(run_key, step_index)``, so the random
+    stream is identical for every ``steps_per_dispatch`` setting and across
+    checkpoint resumes.
     """
     base = build_train_step(scfg, optimizer)
 
-    def fn(state, store, depth_store, idx, depth_idx, key):
+    def one(state, store, depth_store, idx, depth_idx, key):
         batch = gather_batch(store, idx)
         if with_depth:
             d = gather_batch(depth_store, depth_idx, prefix="depth_")
             batch.update(d)
         return base(state, batch, key)
 
+    if scan_steps == 1:
+        def fn(state, store, depth_store, idx, depth_idx, key, step0):
+            return one(
+                state, store, depth_store, idx, depth_idx,
+                jax.random.fold_in(key, step0),
+            )
+    else:
+        def fn(state, store, depth_store, idx, depth_idx, key, step0):
+            def body(st, inp):
+                i, di, s = inp
+                st, metrics = one(
+                    st, store, depth_store, i, di,
+                    jax.random.fold_in(key, s),
+                )
+                return st, metrics
+
+            steps = step0 + jnp.arange(scan_steps)
+            state, ms = jax.lax.scan(body, state, (idx, depth_idx, steps))
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
     if mesh is None:
         # donate the train state: params/opt buffers are reused in place
         return jax.jit(fn, donate_argnums=(0,))
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from satnerf_tpu.parallel import batch_sharding, replicated_sharding
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = (
+        batch_sharding(mesh)
+        if scan_steps == 1
+        else NamedSharding(mesh, P(None, "data"))
+    )
     return jax.jit(
         fn,
-        in_shardings=(repl, repl, repl, data, data, repl),
+        in_shardings=(repl, repl, repl, data, data, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -224,6 +260,16 @@ class Trainer:
             _make_step_fn(scfg_d, optimizer, True, mesh) if has_depth else None
         )
         step_nd = _make_step_fn(scfg_nd, optimizer, False, mesh)
+        spd = max(int(getattr(cfg.run, "steps_per_dispatch", 1)), 1)
+        scan_d = scan_nd = None
+        if spd > 1:
+            scan_nd = _make_step_fn(
+                scfg_nd, optimizer, False, mesh, scan_steps=spd
+            )
+            if has_depth:
+                scan_d = _make_step_fn(
+                    scfg_d, optimizer, True, mesh, scan_steps=spd
+                )
 
         # sanity validation (ref: num_sanity_val_steps=1)
         if cfg.run.num_sanity_val_steps > 0 and validate_every_epoch:
@@ -244,19 +290,42 @@ class Trainer:
         prev_handlers = self._install_signal_handlers()
 
         while step_i < max_steps and not self._stop_requested:
-            idx = jnp.asarray(sampler.next_batch())
             use_depth = has_depth and step_i < ds_drop
-            didx = (
-                jnp.asarray(depth_sampler.next_batch())
-                if use_depth
-                else jnp.asarray(dummy_didx)
+            # largest block that crosses no step-accurate boundary
+            # (logging, epoch/validation end, depth drop, run end)
+            block = min(
+                max_steps - step_i,
+                ((step_i // self.log_every) + 1) * self.log_every - step_i,
+                ((step_i // steps_per_epoch) + 1) * steps_per_epoch - step_i,
+                (ds_drop - step_i) if use_depth else max_steps,
+                spd,
             )
-            key, sub = jax.random.split(key)
-            fn = step_d if use_depth else step_nd
             self.trace.step(step_i)
+            if block == spd and spd > 1:
+                idx = jnp.asarray(
+                    np.stack([sampler.next_batch() for _ in range(spd)])
+                )
+                didx = jnp.asarray(
+                    np.stack([depth_sampler.next_batch() for _ in range(spd)])
+                    if use_depth
+                    else np.broadcast_to(dummy_didx, (spd,) + dummy_didx.shape)
+                )
+                fn = scan_d if use_depth else scan_nd
+            else:
+                block = 1
+                idx = jnp.asarray(sampler.next_batch())
+                didx = (
+                    jnp.asarray(depth_sampler.next_batch())
+                    if use_depth
+                    else jnp.asarray(dummy_didx)
+                )
+                fn = step_d if use_depth else step_nd
             with self.profiler.phase("train_step"):
-                state, metrics = fn(state, store, depth_store, idx, didx, sub)
-            step_i += 1
+                state, metrics = fn(
+                    state, store, depth_store, idx, didx, key,
+                    np.int32(step_i),
+                )
+            step_i += block
             last_metrics = metrics
 
             if step_i % self.log_every == 0 or step_i >= max_steps:

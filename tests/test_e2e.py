@@ -124,3 +124,33 @@ def test_deterministic_runs_reproduce(workspace):
     loss2, w2 = run_once("det2")
     assert loss1 == loss2
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_steps_per_dispatch_invariance(workspace):
+    """K scanned steps per dispatch must produce EXACTLY the same training
+    trajectory as per-step dispatch (fold_in(run_key, step) key stream)."""
+    import jax
+
+    def run(spd):
+        cfg = _cfg(workspace)
+        cfg.run.steps_per_dispatch = spd
+        cfg.run.max_train_steps = 12
+        cfg.run.num_sanity_val_steps = 0
+        pipeline = load_pipeline(cfg)
+        pipeline.prepare_run()
+        pipeline.load_datasets()
+        trainer = Trainer(pipeline, log_every=4)
+        state = trainer.fit(validate_every_epoch=False)
+        return state, trainer.history
+
+    st1, h1 = run(1)
+    st4, h4 = run(4)
+    assert int(st1.step) == int(st4.step) == 12
+    losses1 = [h["loss"] for h in h1]
+    losses4 = [h["loss"] for h in h4]
+    np.testing.assert_allclose(losses1, losses4, rtol=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
+        st1.params, st4.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
