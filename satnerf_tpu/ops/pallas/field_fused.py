@@ -313,7 +313,7 @@ def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
 
 
 FWD_TILE = 512
-BWD_TILE = 512
+BWD_TILE = 256
 
 
 def _whole(arr):
@@ -376,6 +376,9 @@ def _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(xp, auxp, packed_trunk["w0"], packed_trunk["w_mid"],
       packed_trunk["w_skip"], packed_trunk["b"], *head_arrays)
 
@@ -565,6 +568,9 @@ def _fused_field_bwd(spec, interpret, res, g):
             jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in head_arrays
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(sp, auxp, gp, *head_arrays)
 
     g_shared, g_aux = outs[0][:n], outs[1][:n]

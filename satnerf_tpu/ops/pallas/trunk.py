@@ -303,6 +303,9 @@ def _fused_trunk_fwd(spec, interpret, x, packed):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, F), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"])
     return out[:n], (x, packed)
 
@@ -351,6 +354,9 @@ def _fused_trunk_bwd(spec, interpret, res, g):
             pltpu.VMEM((L, tile, F), x.dtype),  # stashed pre-activations
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"], gp)
 
     c = x.shape[1]
