@@ -275,6 +275,7 @@ def field_forward(
     t_emb=None,
     t_s_emb=None,
     compute_dtype=None,
+    n_full=None,
 ) -> dict:
     """Evaluate the field at a flat batch of points.
 
@@ -287,20 +288,40 @@ def field_forward(
         compute_dtype: e.g. jnp.bfloat16 for the trunk/head GEMMs; sensitive
             nonlinearities (softplus/sigmoid/sin args) stay f32 by casting
             back at head outputs.
+        n_full: if set, evaluate the rgb/sky/beta/beta_s/semantic heads only
+            on the first n_full points; sigma and sun_v still cover all N.
+            Used by the renderer's solar-correction pass, whose loss terms
+            (ref: baseline/components/loss.py:13-29) read only
+            transparency/weights (from sigma) and sun_v for the appended
+            sun-ray points — the other heads there are dead compute.
     Returns:
-        dict of per-point outputs (all f32): rgb (N,3), sigma (N,), plus
-        sun_v (N,1), sky (N,3), beta (N,1), beta_s (N,1), semantic (N,C)
-        depending on the variant flags.
+        dict of per-point outputs (all f32): rgb (M,3), sigma (N,), plus
+        sun_v (N,1), sky (M,3), beta (M,1), beta_s (M,1), semantic (M,C)
+        depending on the variant flags, where M = n_full or N.
     """
     dt = compute_dtype
     enc_x = positional_encoding(xyz, cfg.mapping_pos_n_freq) if cfg.mapping else xyz
     if dt is not None:
         enc_x = enc_x.astype(dt)
 
+    nf = n_full if (n_full is not None and n_full < xyz.shape[0]) else None
+
+    def _m(x):
+        """Restrict a per-point input/feature to the heads-on prefix."""
+        return x if (x is None or nf is None) else x[:nf]
+
     if _use_pallas_field(cfg):
-        return _fused_field_forward(
+        out = _fused_field_forward(
             params, cfg, enc_x, sun_d, t_emb, t_s_emb, dt
         )
+        if nf is not None:
+            # the fused kernel computes every head on all points; keep the
+            # output contract (heads sliced to n_full) identical to the XLA
+            # path so the renderer is impl-agnostic
+            for k in ("rgb", "sky", "beta", "beta_s", "semantic"):
+                if k in out:
+                    out[k] = out[k][:nf]
+        return out
 
     if _use_pallas_trunk(cfg):
         from satnerf_tpu.ops.pallas.trunk import (
@@ -332,16 +353,17 @@ def field_forward(
     out = {"sigma": sigma[..., 0]}
 
     # rgb head
-    rgb_in = feats
+    feats_m, t_emb_m, t_s_emb_m = _m(feats), _m(t_emb), _m(t_s_emb)
+    rgb_in = feats_m
     if cfg.use_dir:
         enc_d = (
-            positional_encoding(view_dir, cfg.mapping_dir_n_freq)
+            positional_encoding(_m(view_dir), cfg.mapping_dir_n_freq)
             if cfg.mapping
-            else view_dir
+            else _m(view_dir)
         )
         rgb_in = jnp.concatenate([rgb_in, enc_d.astype(rgb_in.dtype)], axis=-1)
     if cfg.has_semantic and cfg.use_tj_instead_of_beta:
-        rgb_in = jnp.concatenate([rgb_in, t_emb.astype(rgb_in.dtype)], axis=-1)
+        rgb_in = jnp.concatenate([rgb_in, t_emb_m.astype(rgb_in.dtype)], axis=-1)
     hr = _act(cfg, _linear(params["rgb"][0], rgb_in, dt))
     rgb = jax.nn.sigmoid(_linear(params["rgb"][1], hr).astype(jnp.float32))
     out["rgb"] = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
@@ -355,11 +377,13 @@ def field_forward(
         out["sun_v"] = jax.nn.sigmoid(
             _linear(params["sun_v"][-1], sv).astype(jnp.float32)
         )
-        sk = jax.nn.relu(_linear(params["sky"][0], sun_d.astype(jnp.float32)))
+        sk = jax.nn.relu(
+            _linear(params["sky"][0], _m(sun_d).astype(jnp.float32))
+        )
         out["sky"] = jax.nn.sigmoid(_linear(params["sky"][1], sk).astype(jnp.float32))
 
     if cfg.has_beta:
-        bi = jnp.concatenate([feats, t_emb.astype(feats.dtype)], axis=-1)
+        bi = jnp.concatenate([feats_m, t_emb_m.astype(feats_m.dtype)], axis=-1)
         hb = _act(cfg, _linear(params["beta"][0], bi, dt))
         out["beta"] = jax.nn.softplus(
             _linear(params["beta"][1], hb).astype(jnp.float32)
@@ -367,15 +391,15 @@ def field_forward(
 
     if cfg.has_semantic:
         if cfg.use_separate_beta_for_s:
-            bsi = t_s_emb if cfg.use_separate_tj_for_semantic else t_emb
-            bi = jnp.concatenate([feats, bsi.astype(feats.dtype)], axis=-1)
+            bsi = t_s_emb_m if cfg.use_separate_tj_for_semantic else t_emb_m
+            bi = jnp.concatenate([feats_m, bsi.astype(feats_m.dtype)], axis=-1)
             hb = _act(cfg, _linear(params["beta_s"][0], bi, dt))
             out["beta_s"] = jax.nn.softplus(
                 _linear(params["beta_s"][1], hb).astype(jnp.float32)
             )
-        si = feats
+        si = feats_m
         if cfg.use_tj_for_s:
-            st = t_s_emb if cfg.use_separate_tj_for_semantic else t_emb
+            st = t_s_emb_m if cfg.use_separate_tj_for_semantic else t_emb_m
             si = jnp.concatenate([si, st.astype(si.dtype)], axis=-1)
         hs = _act(cfg, _linear(params["semantic"][0], si, dt))
         logits = _linear(params["semantic"][1], hs).astype(jnp.float32)

@@ -178,6 +178,9 @@ def _render_pass(
             t_emb=t_emb_,
             t_s_emb=t_s_emb_,
             compute_dtype=None if rcfg.compute_dtype == "float32" else rcfg.dtype,
+            # the sc loss terms only read transparency/weights/sun_v on the
+            # appended sun-ray half -> skip the other heads there
+            n_full=B * S if run_sc else None,
         )
 
     if rcfg.remat:
@@ -193,13 +196,19 @@ def _render_pass(
             return x.reshape(n_eval, S)
         return x.reshape(n_eval, S, x.shape[-1])
 
+    def unflat_m(x):
+        """Head outputs are pruned to the main (non-sc) half: (B*S, ...)."""
+        if x.ndim == 1:
+            return x.reshape(B, S)
+        return x.reshape(B, S, x.shape[-1])
+
     sigmas = unflat(raw["sigma"])
     z_all = jnp.concatenate([z_vals, z_vals], axis=0) if run_sc else z_vals
     weights, depth, transparency, _ = convert_sigmas(sigmas, z_all)
 
     # main half
     w_m = weights[:B]
-    albedo = unflat(raw["rgb"])[:B]
+    albedo = unflat_m(raw["rgb"])
     result = {
         "weights": w_m,
         "depth": depth[:B],
@@ -210,7 +219,7 @@ def _render_pass(
 
     if fcfg.has_sun:
         sun_v = unflat(raw["sun_v"])[:B]
-        sky = unflat(raw["sky"])[:B]
+        sky = unflat_m(raw["sky"])
         irradiance = sun_v + (1.0 - sun_v) * sky  # s-nerf eq. 2
         rgb = jnp.sum(w_m[..., None] * albedo * irradiance, axis=-2)
         result["sun"] = sun_v
@@ -223,15 +232,15 @@ def _render_pass(
     result["rgb"] = rgb
 
     if fcfg.has_beta:
-        result["beta"] = unflat(raw["beta"])[:B]
+        result["beta"] = unflat_m(raw["beta"])
 
     if fcfg.has_semantic:
-        logits = unflat(raw["semantic"])[:B]
+        logits = unflat_m(raw["semantic"])
         logits_w = composite_scalar(w_m, logits)
         result["semantic_logits"] = logits_w
         result["semantic_label"] = jnp.argmax(logits_w, axis=-1)
         if "beta_s" in raw:
-            result["beta_semantic"] = unflat(raw["beta_s"])[:B]
+            result["beta_semantic"] = unflat_m(raw["beta_s"])
 
     if run_sc:
         result["weights_sc"] = weights[B:]
