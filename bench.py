@@ -21,10 +21,10 @@ step rate: the repo publishes no number (SURVEY.md §6), so we use 10 it/s x
 on the V100/A100-class hardware the reference targets (the original SatNeRF
 reports ~10 h for 300k iterations => ~8.3 it/s).
 
-Verified on one v5e chip (2026-08-16, honest readback timing): 35.5-41k
-rays/s at batch 8192 bf16 (198-225 ms/step, run-to-run drift), 26.6k rays/s
-f32 (308 ms/step), 30.5k rays/s at the reference batch of 1024 bf16
-(33.6 ms/step).
+Verified on one v5e chip (2026-08-17, honest readback timing, incl. the
+solar-correction head pruning): 40.9k rays/s at batch 8192 bf16
+(200 ms/step), 30.5k rays/s f32 (269 ms/step), 30.5k rays/s at the
+reference batch of 1024 bf16 (33.6 ms/step, pre-pruning).
 """
 
 from __future__ import annotations
@@ -38,11 +38,11 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 10_240.0
 
-# Most recent verified measurement on this hardware (2026-08-16, honest
-# scan+readback timing, batch 8192 bf16): reported with "stale": true if
-# the live run cannot complete (e.g. the single-tenant TPU tunnel is held
-# by another client).
-LAST_KNOWN_RAYS_PER_SEC = 35_500.0
+# Most recent verified measurement on this hardware (2026-08-17, honest
+# scan+readback timing, batch 8192 bf16, sc head pruning): reported with
+# "stale": true if the live run cannot complete (e.g. the single-tenant
+# TPU tunnel is held by another client).
+LAST_KNOWN_RAYS_PER_SEC = 40_900.0
 
 BATCH_SIZE = 8192
 DEPTH_RAYS = 1024
@@ -110,7 +110,7 @@ def main() -> None:
     )
 
 
-def _guarded_main(timeout_s: float = 480.0) -> None:
+def _guarded_main(timeout_s: float = 720.0) -> None:
     """Run the measurement in a child process with a deadline so a wedged
     device cannot hang the caller; report the last verified number as stale
     if the live run cannot complete."""

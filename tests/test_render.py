@@ -125,3 +125,50 @@ def test_render_image_chunked_matches_unchunked():
     assert chunked["rgb"].shape == (37, 3)
     np.testing.assert_allclose(chunked["rgb"], np.asarray(full["rgb"]), atol=1e-5)
     np.testing.assert_allclose(chunked["depth"], np.asarray(full["depth"]), atol=1e-5)
+
+
+def test_n_full_head_pruning_matches_full_eval():
+    """field_forward(n_full=k): sigma/sun_v cover all N points, every other
+    head output equals the full evaluation sliced to the first k points."""
+    from satnerf_tpu.models import field_forward
+
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
+                       n_classes=5, **SMALL)
+    key = jax.random.PRNGKey(3)
+    params = init_field_params(key, fcfg)
+    n, k = 24, 10
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+    sun = rng.normal(size=(n, 3)).astype(np.float32)
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    sun = jnp.asarray(sun)
+    t_emb = jnp.asarray(rng.normal(size=(n, fcfg.t_embedding_tau)).astype(np.float32))
+
+    full = field_forward(params, fcfg, xyz, sun_d=sun, t_emb=t_emb)
+    pruned = field_forward(params, fcfg, xyz, sun_d=sun, t_emb=t_emb, n_full=k)
+
+    for name in ("sigma", "sun_v"):
+        np.testing.assert_allclose(pruned[name], full[name], rtol=1e-6)
+    for name in ("rgb", "sky", "beta", "semantic"):
+        assert pruned[name].shape[0] == k, name
+        np.testing.assert_allclose(pruned[name], full[name][:k], rtol=1e-6)
+
+
+def test_solar_correction_outputs_unchanged_by_pruning():
+    """The renderer's sc outputs (driven by sigma/sun_v on the appended sun
+    rays) are identical whether or not the other heads are pruned there:
+    render with solar_correction on and check sun_sc/weights_sc are finite
+    and the main-half outputs match a render without the sc pass."""
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
+                       n_classes=5, **SMALL)
+    rays, extras = _rays(b=8, seed=5)
+    params = _params(fcfg, seed=2)
+    rc_sc = RenderConfig(field=fcfg, n_samples=8, solar_correction=True)
+    rc_no = RenderConfig(field=fcfg, n_samples=8, solar_correction=False)
+    out_sc = render_rays(params, rc_sc, rays, extras, key=None)
+    out_no = render_rays(params, rc_no, rays, extras, key=None)
+    for name in ("rgb", "depth", "beta", "semantic_logits", "sun"):
+        np.testing.assert_allclose(out_sc[name], out_no[name], rtol=1e-5,
+                                   err_msg=name)
+    for name in ("weights_sc", "transparency_sc", "sun_sc"):
+        assert np.all(np.isfinite(out_sc[name])), name
