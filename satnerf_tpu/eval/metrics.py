@@ -47,10 +47,15 @@ def ssim(pred, gt, window_size: int = 3, sigma: float = 1.5):
     kernel = win[None, None]  # (1, 1, k, k) depthwise
 
     def filt(img):
-        # (H, W, C) -> depthwise conv, zero 'same' padding
+        # (H, W, C) -> depthwise conv, zero 'same' padding. The conv MUST
+        # run at full f32 precision: on TPU the default conv precision is
+        # bfloat16, whose error in filt(x*x) - mu*mu exceeds c2 in
+        # low-variance windows and pushes the SSIM index past 1.
         x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
         y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.moveaxis(y[:, 0], 0, -1)
 

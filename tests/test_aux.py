@@ -124,3 +124,19 @@ class TestSsimGolden:
             )
         )
         assert abs(ours - ref) < 1e-5, (ours, ref)
+
+    def test_bounded_on_low_variance_images(self):
+        """SSIM must never exceed 1. Guards the conv precision override:
+        on TPU the default conv precision is bfloat16, whose cancellation
+        error in filt(x*x) - mu**2 exceeds c2 on low-variance windows and
+        inflated the index past 1 (observed 1.08 on real eval renders)."""
+        from satnerf_tpu.eval.metrics import ssim
+
+        rng = np.random.default_rng(3)
+        flat = np.full((64, 64, 3), 0.5, np.float32)
+        near = flat + rng.normal(0, 1e-4, flat.shape).astype(np.float32)
+        for a, b in [(flat, flat), (flat, near), (near, near)]:
+            v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+            assert v <= 1.0 + 1e-4, v
+            assert v >= 0.9, v
+
