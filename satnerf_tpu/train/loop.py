@@ -281,12 +281,21 @@ class Trainer:
         )
         last_metrics: dict | None = None
         t_last = time.time()
+        # cumulative training-only clock: intervals that contain validation
+        # or checkpointing are excluded by re-anchoring t_last after them.
+        # Per-interval rates over the remote tunnel are noisy (the tunnel
+        # applies enqueue backpressure, so host-side interval timing tracks
+        # queue admission, not completion); the cumulative rate is the
+        # honest long-horizon number and is what the console prints.
+        train_time_acc = 0.0
+        steps_timed = 0
         # host-side step mirror: reading state.step from device every
         # iteration would be a blocking round trip per step (catastrophic
         # over a remote device tunnel); the device counter is only consulted
         # once here and at checkpoints
         start_step = int(jax.device_get(state.step))
         step_i = start_step
+        last_log_step = start_step
         prev_handlers = self._install_signal_handlers()
 
         while step_i < max_steps and not self._stop_requested:
@@ -329,10 +338,13 @@ class Trainer:
             last_metrics = metrics
 
             if step_i % self.log_every == 0 or step_i >= max_steps:
+                fetched = jax.device_get(last_metrics)  # forces completion
                 now = time.time()
-                rate = self.log_every / max(now - t_last, 1e-9)
+                train_time_acc += now - t_last
+                steps_timed += step_i - last_log_step
+                last_log_step = step_i
                 t_last = now
-                fetched = jax.device_get(last_metrics)
+                rate = steps_timed / max(train_time_acc, 1e-9)
                 self._log_train(step_i, fetched, rate, batch_size)
 
             # epoch boundary (or end of run) -> validation + checkpoints
@@ -352,6 +364,7 @@ class Trainer:
                     ckpt.maybe_save_best(state, mae)
                 ckpt.maybe_save_epoch(state, new_epoch)
                 ckpt.save_last(state)
+                t_last = time.time()  # don't charge val/ckpt to the rate
 
         ckpt.save_last(state)
         if self.writer is not None:
