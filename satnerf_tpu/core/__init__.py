@@ -12,6 +12,10 @@ from satnerf_tpu.core.rays import (  # noqa: F401
     construct_sun_dir,
 )
 from satnerf_tpu.core.encoding import positional_encoding  # noqa: F401
-from satnerf_tpu.core.sampling import sample_rays, sample_pdf  # noqa: F401
+from satnerf_tpu.core.sampling import (  # noqa: F401
+    sample_pdf,
+    sample_pdf_midpoint,
+    sample_rays,
+)
 from satnerf_tpu.core.compositing import convert_sigmas  # noqa: F401
 from satnerf_tpu.core.normalization import SceneNormalization  # noqa: F401

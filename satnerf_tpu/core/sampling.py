@@ -99,3 +99,41 @@ def sample_pdf(
     denom = jnp.where(denom < eps, 1.0, denom)
     samples = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
     return samples
+
+
+def sample_pdf_midpoint(bins, weights, n_importance: int, eps: float = 1e-8):
+    """Deterministic inverse-CDF sampling at uniform-interval MIDPOINTS.
+
+    Port of the reference's SDF-style sampler ``sample_dists_from_pdf_sdf``
+    (ref: framework/components/rendering.py:55-81 — defined there but unused
+    by the shipped coarse-only renderers; provided for parity): instead of
+    ``sample_pdf``'s jittered/endpoint u-grid, u is the midpoint of each of
+    the ``n_importance`` uniform intervals, giving a stratified-deterministic
+    fine sample set.
+
+    Args:
+        bins: (N, S+1) bin edges (distance values).
+        weights: (N, S) coarse weights (need not be normalised).
+    Returns:
+        samples (N, n_importance).
+    """
+    n_rays, n_bins = weights.shape
+    pdf = weights / jnp.maximum(
+        jnp.sum(jnp.abs(weights), axis=-1, keepdims=True), eps
+    )
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+
+    grid = jnp.linspace(0.0, 1.0, n_importance + 1, dtype=bins.dtype)
+    u = 0.5 * (grid[:-1] + grid[1:])
+    u = jnp.broadcast_to(u, (n_rays, n_importance))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, None)
+    above = jnp.clip(inds, None, n_bins)
+    cdf_below = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=1)
+    bins_below = jnp.take_along_axis(bins, below, axis=1)
+    bins_above = jnp.take_along_axis(bins, above, axis=1)
+    t = (u - cdf_below) / (cdf_above - cdf_below + eps)
+    return bins_below + t * (bins_above - bins_below)

@@ -217,3 +217,41 @@ class TestNormalization:
         c2, r2 = norm2.center_range()
         np.testing.assert_allclose(c1, c2)
         assert r1 == r2
+
+
+def test_sample_pdf_midpoint_matches_reference_sdf_sampler():
+    """Our midpoint inverse-CDF sampler vs a torch transcription of the
+    reference's sample_dists_from_pdf_sdf (framework/components/rendering.py:
+    55-81, defined-but-unused SDF-style variant)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import torch.nn.functional as torch_F
+
+    from satnerf_tpu.core.sampling import sample_pdf_midpoint
+
+    rng = np.random.default_rng(11)
+    n, s, nf = 6, 8, 5
+    edges = np.sort(rng.uniform(0, 1, (n, s + 1)).astype(np.float32), axis=1)
+    w = rng.uniform(0.01, 1, (n, s)).astype(np.float32)
+
+    ours = np.asarray(sample_pdf_midpoint(jnp.asarray(edges), jnp.asarray(w), nf))
+
+    bin_t = torch.from_numpy(edges)[None]  # [1, R, S+1]
+    w_t = torch.from_numpy(w)[None]
+    pdf = torch_F.normalize(w_t, p=1, dim=-1)
+    cdf = pdf.cumsum(dim=-1)
+    cdf = torch.cat([torch.zeros_like(cdf[..., :1]), cdf], dim=-1)
+    grid = torch.linspace(0, 1, nf + 1)
+    unif = 0.5 * (grid[:-1] + grid[1:]).repeat(*cdf.shape[:-1], 1)
+    idx = torch.searchsorted(cdf, unif, right=True)
+    low = (idx - 1).clamp(min=0)
+    high = idx.clamp(max=cdf.shape[-1] - 1)
+    dist_min = bin_t.gather(dim=2, index=low)
+    dist_max = bin_t.gather(dim=2, index=high)
+    cdf_low = cdf.gather(dim=2, index=low)
+    cdf_high = cdf.gather(dim=2, index=high)
+    t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
+    ref = (dist_min + t * (dist_max - dist_min))[0].numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
