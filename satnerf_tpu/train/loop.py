@@ -340,11 +340,17 @@ class Trainer:
             if step_i % self.log_every == 0 or step_i >= max_steps:
                 fetched = jax.device_get(last_metrics)  # forces completion
                 now = time.time()
-                train_time_acc += now - t_last
-                steps_timed += step_i - last_log_step
+                if steps_timed or last_log_step > start_step:
+                    train_time_acc += now - t_last
+                    steps_timed += step_i - last_log_step
+                    rate = steps_timed / max(train_time_acc, 1e-9)
+                else:
+                    # first boundary: the elapsed interval is dominated by
+                    # the remote compile — report it raw, but don't let it
+                    # pollute the cumulative training-rate accumulator
+                    rate = (step_i - last_log_step) / max(now - t_last, 1e-9)
                 last_log_step = step_i
                 t_last = now
-                rate = steps_timed / max(train_time_acc, 1e-9)
                 self._log_train(step_i, fetched, rate, batch_size)
 
             # epoch boundary (or end of run) -> validation + checkpoints
