@@ -151,3 +151,32 @@ def test_eval_all_orchestrator(trained_run, tmp_path):
     pcs = os.listdir(os.path.join(out, run_name, "pointclouds", "test"))
     assert len([f for f in pcs if f.endswith(".ply")]) == 8  # 2 imgs x 4 each
     assert os.path.isfile(os.path.join(out, "gathered.txt"))
+
+
+def test_study_cli(trained_run, tmp_path):
+    """DSM study tools (ref: eval/study/*): colormapped PNG from a GeoTIFF
+    band and a PLY point cloud from the GT DSM raster, via the CLI."""
+    base, _run_dp = trained_run
+    dsm_fp = str(base / "datasets" / "SYN_EVAL" / "SYN_001_DSM.tif")
+
+    from satnerf_tpu.eval.study import main
+
+    png = str(tmp_path / "dsm.png")
+    ply = str(tmp_path / "dsm.ply")
+    main(["tif2png", dsm_fp, png])
+    main(["dsm2ply", dsm_fp, ply])
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(png))
+    assert img.ndim == 3 and img.shape[2] == 3 and img.std() > 0
+
+    from satnerf_tpu.eval.extract_pointcloud import read_ply
+
+    rec = read_ply(ply)
+    from satnerf_tpu.io.tiff import read_geotiff
+
+    arr, _ = read_geotiff(dsm_fp)
+    assert rec.shape[0] == np.isfinite(arr[0]).sum()
+    zs = rec["z"]
+    assert np.nanmin(arr[0]) - 1e-3 <= zs.min() and zs.max() <= np.nanmax(arr[0]) + 1e-3
