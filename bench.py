@@ -49,7 +49,12 @@ DEPTH_RAYS = 1024
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
 
-def main() -> None:
+def main(deadline_s: float | None = None) -> None:
+    t_start = time.time()
+
+    def over_deadline() -> bool:
+        return deadline_s is not None and time.time() - t_start > deadline_s
+
     import jax
 
     from __graft_entry__ import _batch
@@ -88,7 +93,12 @@ def main() -> None:
     assert np.isfinite(float(losses[-1]))
 
     best = float("inf")
+    final_loss = float(losses[-1])
     for _ in range(3):
+        # self-bounding between trials: exiting here (between dispatches)
+        # is safe for the chip grant, unlike being killed mid-step
+        if best < float("inf") and over_deadline():
+            break
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         state, losses = many_j(state, batch, sub)
@@ -113,13 +123,22 @@ def main() -> None:
 def _guarded_main(timeout_s: float = 720.0) -> None:
     """Run the measurement in a child process with a deadline so a wedged
     device cannot hang the caller; report the last verified number as stale
-    if the live run cannot complete."""
-    proc = multiprocessing.Process(target=main)
+    if the live run cannot complete.
+
+    The child bounds itself between trials (safe points); if it is stuck
+    inside a device call past the parent deadline, escalate SIGTERM ->
+    grace -> SIGKILL. Killing a TPU client mid-step can wedge the
+    single-tenant chip grant (see CLAUDE.md), so the kill is a last resort
+    after a long grace period, not the primary bound."""
+    proc = multiprocessing.Process(target=main, args=(timeout_s * 0.8,))
     proc.start()
     proc.join(timeout_s)
     if proc.is_alive():
-        proc.kill()
-        proc.join()
+        proc.terminate()  # SIGTERM first: lets the runtime unwind cleanly
+        proc.join(60.0)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
     if proc.exitcode != 0:
         print(
             json.dumps(

@@ -86,6 +86,18 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
+    return _inverse_cdf_interp(bins, cdf, u, n_bins, clamp_denom_below=eps)
+
+
+def _inverse_cdf_interp(bins, cdf, u, n_bins, clamp_denom_below=None,
+                        denom_eps=0.0):
+    """Shared inverse-CDF transform: locate each u in the per-ray cdf and
+    linearly interpolate the corresponding bin values.
+
+    clamp_denom_below: replace denominators < this with 1 (sample_pdf's
+        guard). denom_eps: additive epsilon on the denominator (the SDF
+        variant's guard, matching the reference formula exactly).
+    """
     inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, n_bins)
@@ -95,10 +107,10 @@ def sample_pdf(
     bins_below = jnp.take_along_axis(bins, below, axis=1)
     bins_above = jnp.take_along_axis(bins, above, axis=1)
 
-    denom = cdf_above - cdf_below
-    denom = jnp.where(denom < eps, 1.0, denom)
-    samples = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
-    return samples
+    denom = cdf_above - cdf_below + denom_eps
+    if clamp_denom_below is not None:
+        denom = jnp.where(denom < clamp_denom_below, 1.0, denom)
+    return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
 
 
 def sample_pdf_midpoint(bins, weights, n_importance: int, eps: float = 1e-8):
@@ -128,12 +140,4 @@ def sample_pdf_midpoint(bins, weights, n_importance: int, eps: float = 1e-8):
     u = 0.5 * (grid[:-1] + grid[1:])
     u = jnp.broadcast_to(u, (n_rays, n_importance))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(inds - 1, 0, None)
-    above = jnp.clip(inds, None, n_bins)
-    cdf_below = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=1)
-    bins_below = jnp.take_along_axis(bins, below, axis=1)
-    bins_above = jnp.take_along_axis(bins, above, axis=1)
-    t = (u - cdf_below) / (cdf_above - cdf_below + eps)
-    return bins_below + t * (bins_above - bins_below)
+    return _inverse_cdf_interp(bins, cdf, u, n_bins, denom_eps=eps)

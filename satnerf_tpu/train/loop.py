@@ -361,6 +361,18 @@ class Trainer:
                 (at_boundary and new_epoch % cfg.run.check_val_every_n_epoch == 0)
                 or run_done
             ):
+                # close the current timing interval before validation so the
+                # steps since the last log boundary keep their training time
+                # (t_last is re-anchored after validation; without this,
+                # those steps would be counted against a clock that dropped
+                # their interval, inflating the cumulative rate)
+                if last_metrics is not None:
+                    jax.device_get(last_metrics)  # forces step completion
+                now = time.time()
+                if steps_timed or last_log_step > start_step:
+                    train_time_acc += now - t_last
+                    steps_timed += step_i - last_log_step
+                last_log_step = step_i
                 with self.profiler.phase("validate"):
                     val = self.validate(
                         state, scfg_nd, epoch=new_epoch - 1, display_epoch=new_epoch
