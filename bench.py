@@ -52,7 +52,26 @@ SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 def main(deadline_s: float | None = None) -> None:
     t_start = time.time()
 
+    # Graceful-stop contract with _guarded_main: SIGTERM only sets a flag
+    # that is honoured at the inter-trial safe points below (between device
+    # dispatches), mirroring the Trainer's preemption handler. Dying inside
+    # a device call can wedge the single-tenant chip grant (see CLAUDE.md).
+    import signal
+
+    stop_requested = False
+
+    def _on_sigterm(signum, frame):
+        nonlocal stop_requested
+        stop_requested = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread of the process; keep default handling
+
     def over_deadline() -> bool:
+        if stop_requested:
+            return True
         return deadline_s is not None and time.time() - t_start > deadline_s
 
     import jax
@@ -97,6 +116,8 @@ def main(deadline_s: float | None = None) -> None:
     for _ in range(3):
         # self-bounding between trials: exiting here (between dispatches)
         # is safe for the chip grant, unlike being killed mid-step
+        if stop_requested and best == float("inf"):
+            raise SystemExit(1)  # no measurement yet; parent reports stale
         if best < float("inf") and over_deadline():
             break
         key, sub = jax.random.split(key)

@@ -74,7 +74,14 @@ def evaluate_image(dataset, img: dict, res: dict, output_dp: str, step: int) -> 
         "Eval",
         f"{img['name']}: psnr={psnr_:.2f} ssim={ssim_:.3f} mae={mae['mean']}",
     )
-    return {"mae": mae, "psnr": f"{psnr_:.2f}", "ssim": f"{ssim_:.3f}"}
+    out = {"mae": mae, "psnr": f"{psnr_:.2f}", "ssim": f"{ssim_:.3f}"}
+    if "rgb_coarse" in res:
+        # hierarchical runs report both passes, with the reference's
+        # "_coarse" suffix convention (framework/components/rendering.py:119)
+        pc = res["rgb_coarse"].reshape(h, w, 3)
+        out["psnr_coarse"] = f"{float(metrics.psnr(jnp.asarray(pc), jnp.asarray(gt))):.2f}"
+        out["ssim_coarse"] = f"{float(metrics.ssim(jnp.asarray(pc), jnp.asarray(gt))):.3f}"
+    return out
 
 
 def _with_running_means(all_results: dict) -> dict:

@@ -297,6 +297,10 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
                     offsets[ty * tiles_x + tx], counts[ty * tiles_x + tx]
                 ])
                 tile = np.frombuffer(raw, dtype=np_dt)[: tl * tw * count]
+                assert tile.size == tl * tw * count, (
+                    f"{fp}: tile ({ty},{tx}) decoded to {tile.size} samples, "
+                    f"expected {tl * tw * count} (truncated or corrupt tile)"
+                )
                 tile = tile.reshape(tl, tw, count)
                 if predictor == 2:  # per-tile horizontal differencing
                     tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)

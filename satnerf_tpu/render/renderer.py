@@ -283,9 +283,14 @@ def render_image_chunked(
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
         res = fn(params, r, e)
-        # eval consumers only need the primary (fine) outputs; the nested
-        # coarse dict from hierarchical sampling cannot be concatenated
-        res.pop("coarse", None)
+        # hierarchical sampling nests the coarse pass as a dict; flatten it
+        # to "<k>_coarse" keys (the reference's suffix convention,
+        # framework/components/rendering.py:119-174) so eval consumers can
+        # report both passes when n_importance > 0
+        coarse = res.pop("coarse", None)
+        if coarse is not None:
+            for k, v in coarse.items():
+                res[f"{k}_coarse"] = v
         res = jax.tree.map(np.asarray, res)
         if pad:
             res = jax.tree.map(lambda x: x[: chunk - pad], res)

@@ -309,7 +309,6 @@ class Trainer:
                 (ds_drop - step_i) if use_depth else max_steps,
                 spd,
             )
-            self.trace.step(step_i)
             if block == spd and spd > 1:
                 idx = jnp.asarray(
                     np.stack([sampler.next_batch() for _ in range(spd)])
@@ -329,6 +328,7 @@ class Trainer:
                     else jnp.asarray(dummy_didx)
                 )
                 fn = step_d if use_depth else step_nd
+            self.trace.step(step_i, block)
             with self.profiler.phase("train_step"):
                 state, metrics = fn(
                     state, store, depth_store, idx, didx, key,

@@ -57,19 +57,49 @@ class TraceCapture:
         self.stop = start_step + n_steps
         self._active = False
         self._done = False
+        self._covered_first: int | None = None
+        self._covered_last: int | None = None
+        self._block: int = 1
 
-    def step(self, step: int) -> None:
+    def step(self, step: int, block: int = 1) -> None:
+        """Called once per dispatch covering steps [step, step+block).
+
+        With steps_per_dispatch > 1 a dispatch is the finest traceable unit,
+        so the window is aligned to blocks: the trace starts at the first
+        dispatch that overlaps [start, stop) and the exact covered step range
+        + block size are recorded in trace_window.json alongside the trace.
+        """
         if self.dir is None or self._done:
             return
         import jax
 
-        if not self._active and step >= self.start:
-            jax.profiler.start_trace(self.dir)
-            self._active = True
-        elif self._active and step >= self.stop:
+        if self._active and step >= self.stop:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True
+            self._write_window()
+            return
+        if not self._active and step + block > self.start and step < self.stop:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+            self._covered_first = step
+            self._block = block
+        if self._active:
+            self._covered_last = step + block - 1
+
+    def _write_window(self) -> None:
+        import json
+
+        os.makedirs(self.dir, exist_ok=True)
+        with open(os.path.join(self.dir, "trace_window.json"), "w") as f:
+            json.dump(
+                {
+                    "first_step": self._covered_first,
+                    "last_step": self._covered_last,
+                    "steps_per_dispatch": self._block,
+                },
+                f,
+            )
 
     def close(self) -> None:
         if self._active:
@@ -78,3 +108,4 @@ class TraceCapture:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True
+            self._write_window()

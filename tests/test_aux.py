@@ -140,3 +140,52 @@ class TestSsimGolden:
             assert v <= 1.0 + 1e-4, v
             assert v >= 0.9, v
 
+
+
+class TestTraceCapture:
+    def _capture(self, monkeypatch, tmp_path, start, n):
+        from satnerf_tpu.train import profiling
+
+        calls = []
+        monkeypatch.setenv("SATNERF_TPU_PROFILE_DIR", str(tmp_path))
+        tc = profiling.TraceCapture(start_step=start, n_steps=n)
+        monkeypatch.setattr(
+            jax.profiler, "start_trace", lambda d: calls.append(("start", d))
+        )
+        monkeypatch.setattr(
+            jax.profiler, "stop_trace", lambda: calls.append(("stop",))
+        )
+        return tc, calls
+
+    def test_per_step_window(self, monkeypatch, tmp_path):
+        tc, calls = self._capture(monkeypatch, tmp_path, start=2, n=3)
+        for s in range(8):
+            tc.step(s)
+        assert [c[0] for c in calls] == ["start", "stop"]
+        import json
+
+        win = json.load(open(tmp_path / "trace_window.json"))
+        assert win["first_step"] == 2 and win["last_step"] == 4
+        assert win["steps_per_dispatch"] == 1
+
+    def test_block_dispatch_window_records_block(self, monkeypatch, tmp_path):
+        """With steps_per_dispatch > 1 the trace is block-aligned; the
+        sidecar records the exact covered step range + block size
+        (advisor finding: block dispatch silently coarsened coverage)."""
+        tc, calls = self._capture(monkeypatch, tmp_path, start=10, n=4)
+        for s in range(0, 32, 8):
+            tc.step(s, block=8)
+        assert [c[0] for c in calls] == ["start", "stop"]
+        import json
+
+        win = json.load(open(tmp_path / "trace_window.json"))
+        # block [8,16) overlaps start=10 -> trace covers [8,16)
+        assert win["first_step"] == 8 and win["last_step"] == 15
+        assert win["steps_per_dispatch"] == 8
+
+    def test_close_flushes_open_window(self, monkeypatch, tmp_path):
+        tc, calls = self._capture(monkeypatch, tmp_path, start=0, n=100)
+        tc.step(0, block=4)
+        tc.close()
+        assert [c[0] for c in calls] == ["start", "stop"]
+        assert (tmp_path / "trace_window.json").is_file()

@@ -95,8 +95,10 @@ def test_training_with_fine_network_decreases_loss():
 
 
 def test_fine_network_full_image_eval():
-    """render_image_chunked must work with hierarchical sampling (the nested
-    coarse dict is dropped for eval consumers)."""
+    """render_image_chunked must work with hierarchical sampling: the nested
+    coarse dict is flattened to "_coarse"-suffixed keys (the reference's
+    convention, framework/components/rendering.py:119-174) so eval can
+    report both passes."""
     from satnerf_tpu.render.renderer import render_image_chunked
 
     fcfg = FieldConfig(variant="satnerf", **SMALL)
@@ -112,6 +114,56 @@ def test_fine_network_full_image_eval():
     assert out["rgb"].shape == (37, 3)
     assert out["weights"].shape == (37, 16)
     assert "coarse" not in out
+    assert out["rgb_coarse"].shape == (37, 3)
+    assert out["weights_coarse"].shape == (37, 8)
+    # the flattened coarse outputs match an unchunked render with the same
+    # deterministic (key=None) sampling
+    ref = render_rays(params, rcfg, rays, extras, key=None)
+    np.testing.assert_allclose(
+        out["rgb_coarse"], np.asarray(ref["coarse"]["rgb"]), atol=1e-5
+    )
+
+
+def test_fine_network_eval_image_reports_coarse_metrics(tmp_path):
+    """evaluate_image adds psnr_coarse/ssim_coarse for hierarchical runs."""
+    from satnerf_tpu.eval.eval_nerf import evaluate_image
+
+    fcfg = FieldConfig(variant="satnerf", **SMALL)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=8, n_importance=8, use_fine_network=True,
+        solar_correction=True,
+    )
+    params = init_params(jax.random.PRNGKey(7), fcfg, t_vocab=4,
+                         use_fine_network=True)
+    h = w = 6
+    rays, extras = _rays(h * w)
+    from satnerf_tpu.render.renderer import render_image_chunked
+
+    res = render_image_chunked(params, rcfg, np.asarray(rays),
+                               np.asarray(extras), chunk=16)
+    rng = np.random.default_rng(0)
+    img = {
+        "h": h, "w": w, "name": "synthetic_000",
+        "rays": np.asarray(rays),
+        "rgbs": rng.uniform(0, 1, (h * w, 3)).astype(np.float32),
+    }
+
+    class _DS:  # minimal dataset stand-in: no GT DSM -> mae is nan-safe dict
+        data = []
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    import satnerf_tpu.eval.eval_nerf as en
+
+    orig = en.compute_dsm_and_mae
+    en.compute_dsm_and_mae = lambda *a, **k: {"mean": "nan", "median": "nan"}
+    try:
+        out = evaluate_image(_DS(), img, res, str(tmp_path), step=0)
+    finally:
+        en.compute_dsm_and_mae = orig
+    assert "psnr_coarse" in out and "ssim_coarse" in out
+    assert float(out["psnr_coarse"]) > 0
 
 
 def test_fine_network_semantic_losses_cover_coarse_pass():
