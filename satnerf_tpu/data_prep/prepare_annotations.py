@@ -4,8 +4,9 @@ ref: data_prep/prepare_annotations.py:16-481 — the five-class label scheme
 (ground/water/vegetation/buildings/cars), the class color map used across the
 visualizers (the cross-layer import the reference makes from
 semantic/components/visualize.py:16-18 is preserved: viz imports colors from
-here), COCO-annotation to pixel-mask conversion (gated on pycocotools), and
-the label-corruption generator for the robustness experiments.
+here), COCO-annotation to pixel-mask conversion (pure-python polygon/RLE
+decoding via satnerf_tpu.data_prep.coco — no pycocotools), and the
+label-corruption generator for the robustness experiments.
 
 CLI: python -m satnerf_tpu.data_prep.prepare_annotations corrupt <cls_dp> <out_dp>
 """
@@ -123,40 +124,53 @@ def _binary_dilate(mask: np.ndarray, it: int = 1) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# COCO mask conversion (ref: prepare_annotations.py:61-255; gated dep)
+# COCO mask conversion (ref: prepare_annotations.py:61-255)
 # --------------------------------------------------------------------------
 
 
-def coco_to_masks(coco_json_fp: str, out_dp: str, height: int, width: int):
-    """Convert roboflow-style COCO annotations to per-image pixel masks.
+def coco_mask_for_image(
+    coco, img_id: int, h: int, w: int,
+    default_class: str = "ground", no_cars: bool = False,
+) -> np.ndarray:
+    """Pixel mask for one COCO image (ref get_mask_for_img semantics,
+    prepare_annotations.py:218-255): unlabeled pixels take the scene's
+    default class, overlaps resolve to the highest-ranked class (cars over
+    buildings over vegetation over ...), ``no_cars`` drops car annotations."""
+    mask = np.full((h, w), -1, dtype=np.int16)
+    from satnerf_tpu.data_prep.coco import ann_to_mask
 
-    Label conflicts are resolved by ranking (later classes in LABELS win,
-    i.e. cars override buildings override vegetation...). Requires
-    pycocotools; raises a clear error when unavailable.
+    for ann in coco.image_anns(img_id):
+        rank = LABELS.get(coco.category_name(ann["category_id"]), 0)
+        if no_cars and rank == LABELS["cars"]:
+            continue
+        m = ann_to_mask(ann, h, w)
+        np.maximum(mask, np.where(m, rank, -1), out=mask)
+    mask[mask < 0] = LABELS.get(default_class, 0)
+    return mask.astype(np.uint8)
+
+
+def coco_to_masks(
+    coco_json_fp: str, out_dp: str,
+    height: int | None = None, width: int | None = None,
+    default_class: str = "ground", no_cars: bool = False,
+):
+    """Convert roboflow-style COCO annotations to per-image pixel masks
+    (.npy per image, uint8 class ids).
+
+    Pure-python polygon + RLE decoding (satnerf_tpu.data_prep.coco) — no
+    pycocotools needed. ``height``/``width`` override the per-image sizes
+    recorded in the JSON (normally omitted).
     """
-    try:
-        from pycocotools.coco import COCO
-        from pycocotools import mask as coco_mask
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "pycocotools is required for COCO annotation conversion; "
-            "install it in the data-prep environment"
-        ) from exc
+    from satnerf_tpu.data_prep.coco import CocoIndex
 
-    coco = COCO(coco_json_fp)
+    coco = CocoIndex(coco_json_fp)
     os.makedirs(out_dp, exist_ok=True)
     for img_id, info in coco.imgs.items():
-        mask = np.zeros((height, width), dtype=np.uint8)
-        anns = coco.loadAnns(coco.getAnnIds(imgIds=img_id))
-        # ranking: draw low-priority classes first so high ones overwrite
-        anns.sort(
-            key=lambda a: LABELS.get(coco.cats[a["category_id"]]["name"], 0)
+        h = height if height is not None else int(info["height"])
+        w = width if width is not None else int(info["width"])
+        mask = coco_mask_for_image(
+            coco, img_id, h, w, default_class=default_class, no_cars=no_cars
         )
-        for ann in anns:
-            cls_id = LABELS.get(coco.cats[ann["category_id"]]["name"], 0)
-            rle = coco.annToRLE(ann)
-            m = coco_mask.decode(rle).astype(bool)
-            mask[m] = cls_id
         np.save(
             os.path.join(out_dp, os.path.splitext(info["file_name"])[0] + ".npy"),
             mask,
