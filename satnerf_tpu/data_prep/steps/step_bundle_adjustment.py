@@ -64,11 +64,74 @@ class ProcessingStep(ProcessingStepBase):
         )
 
     def _copy_precomputed(self, cfg, state):
+        """Import a recorded sat-bundleadjust output directory.
+
+        Consumes the full contract the reference's BA step writes (ref:
+        data_prep/processing/step_bundle_adjustment.py:72-97) and its meta
+        distribution step reads (step_finish_meta_extraction.py:56-87):
+
+        * ``ba_params/pts3d.npy``   — (N, 3) ECEF tie points,
+        * ``ba_params/pts2d.npy``   — (M, 2) observed (col, row) keypoints,
+        * ``ba_params/cam_ind.npy`` — (M,) camera index per observation,
+        * ``ba_params/pts_ind.npy`` — (M,) tie-point index per observation,
+        * ``ba_params/geotiff_paths.txt`` — cam_ind -> image mapping (with
+          the reference's pan_crops->crops / PAN.tif->RGB.tif rewrites),
+        * ``rpcs_adj/<name>.rpc_adj`` — optional adjusted cameras, applied
+          to the metas when present.
+
+        A flat directory containing only ``pts3d.npy`` is also accepted for
+        fixtures that pre-distributed keypoints into the metas themselves.
+        """
         src_dp = self.step_cfg.params["precomputed_dp"]
-        pts3d = np.load(os.path.join(src_dp, "pts3d.npy"))
+        ba_params_dp = os.path.join(src_dp, "ba_params")
+        if not os.path.isdir(ba_params_dp):
+            pts3d = np.load(os.path.join(src_dp, "pts3d.npy"))
+            np.save(self.out_fp, pts3d)
+            # keypoints per view are expected inside the metas already
+            logger.info("DataPrep", f"imported {pts3d.shape[0]} tie points")
+            return
+
+        pts3d = np.load(os.path.join(ba_params_dp, "pts3d.npy"))
+        pts2d = np.load(os.path.join(ba_params_dp, "pts2d.npy"))
+        cam_ind = np.load(os.path.join(ba_params_dp, "cam_ind.npy"))
+        pts_ind = np.load(os.path.join(ba_params_dp, "pts_ind.npy"))
+        assert pts2d.shape == (cam_ind.shape[0], 2), (pts2d.shape, cam_ind.shape)
+        assert pts_ind.shape == cam_ind.shape
+        assert int(pts_ind.max(initial=-1)) < pts3d.shape[0]
         np.save(self.out_fp, pts3d)
-        # keypoints per view are expected inside the metas already
-        logger.info("DataPrep", f"imported {pts3d.shape[0]} tie points")
+
+        with open(os.path.join(ba_params_dp, "geotiff_paths.txt")) as f:
+            geotiff_paths = [ln.strip() for ln in f if ln.strip()]
+        # the reference's path rewrites: BA may have run on the PAN crops
+        geotiff_paths = [p.replace("/pan_crops/", "/crops/") for p in geotiff_paths]
+        geotiff_paths = [p.replace("PAN.tif", "RGB.tif") for p in geotiff_paths]
+        basenames = [os.path.basename(p) for p in geotiff_paths]
+
+        rpcs_adj_dp = os.path.join(src_dp, "rpcs_adj")
+        n_updated = 0
+        for name in state["image_names"]:
+            meta_fp = os.path.join(state["metas_dp"], name + ".json")
+            meta = read_json(meta_fp)
+            img_name = meta.get("img", name + ".tif")
+            assert img_name in basenames, (
+                f"{img_name} not among the BA output's geotiff_paths"
+            )
+            cam_idx = basenames.index(img_name)
+            sel = cam_ind == cam_idx
+            meta["keypoints"] = {
+                "2d_coordinates": pts2d[sel, :].tolist(),
+                "pts3d_indices": pts_ind[sel].tolist(),
+            }
+            rpc_adj_fp = os.path.join(rpcs_adj_dp, name + ".rpc_adj")
+            if os.path.isfile(rpc_adj_fp):
+                meta["rpc"] = RPCModel.from_rpc_file(rpc_adj_fp).to_dict()
+            write_json(meta_fp, meta)
+            n_updated += 1
+        logger.info(
+            "DataPrep",
+            f"imported {pts3d.shape[0]} tie points + {pts2d.shape[0]} "
+            f"observations into {n_updated} view metas",
+        )
 
     # -- GT-DSM-derived tie points (fallback) ------------------------------
     def _run_from_dsm(self, cfg, state):

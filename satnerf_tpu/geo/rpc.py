@@ -197,6 +197,78 @@ class RPCModel:
             col_den=v[72:92],
         )
 
+    @classmethod
+    def from_rpc_file(cls, fp: str) -> "RPCModel":
+        """Parse an IKONOS-style RPC text file (``*.rpc`` / ``*.rpc_adj``).
+
+        This is the format sat-bundleadjust writes its adjusted cameras in
+        (ref: data_prep/processing/step_finish_meta_extraction.py:57-62 reads
+        them with rpcm.rpc_from_rpc_file): ``KEY: value [unit]`` lines with
+        LINE_*/SAMP_*/LAT_*/LONG_*/HEIGHT_* offsets+scales and the four
+        20-coefficient polynomials as ``LINE_NUM_COEFF_1`` .. ``SAMP_DEN_COEFF_20``.
+        """
+        vals: dict[str, float] = {}
+        with open(fp) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                key, rest = line.split(":", 1)
+                try:
+                    vals[key.strip().upper()] = float(rest.split()[0])
+                except (ValueError, IndexError):
+                    continue
+
+        def poly(prefix: str) -> np.ndarray:
+            return np.array(
+                [vals[f"{prefix}_{i}"] for i in range(1, 21)], dtype=np.float64
+            )
+
+        return cls(
+            row_offset=vals["LINE_OFF"],
+            col_offset=vals["SAMP_OFF"],
+            lat_offset=vals["LAT_OFF"],
+            lon_offset=vals["LONG_OFF"],
+            alt_offset=vals["HEIGHT_OFF"],
+            row_scale=vals["LINE_SCALE"],
+            col_scale=vals["SAMP_SCALE"],
+            lat_scale=vals["LAT_SCALE"],
+            lon_scale=vals["LONG_SCALE"],
+            alt_scale=vals["HEIGHT_SCALE"],
+            row_num=poly("LINE_NUM_COEFF"),
+            row_den=poly("LINE_DEN_COEFF"),
+            col_num=poly("SAMP_NUM_COEFF"),
+            col_den=poly("SAMP_DEN_COEFF"),
+        )
+
+    def to_rpc_file(self, fp: str) -> None:
+        """Write the IKONOS-style RPC text format from_rpc_file reads."""
+        units = {
+            "LINE_OFF": "pixels", "SAMP_OFF": "pixels",
+            "LAT_OFF": "degrees", "LONG_OFF": "degrees",
+            "HEIGHT_OFF": "meters",
+            "LINE_SCALE": "pixels", "SAMP_SCALE": "pixels",
+            "LAT_SCALE": "degrees", "LONG_SCALE": "degrees",
+            "HEIGHT_SCALE": "meters",
+        }
+        scalars = {
+            "LINE_OFF": self.row_offset, "SAMP_OFF": self.col_offset,
+            "LAT_OFF": self.lat_offset, "LONG_OFF": self.lon_offset,
+            "HEIGHT_OFF": self.alt_offset,
+            "LINE_SCALE": self.row_scale, "SAMP_SCALE": self.col_scale,
+            "LAT_SCALE": self.lat_scale, "LONG_SCALE": self.lon_scale,
+            "HEIGHT_SCALE": self.alt_scale,
+        }
+        polys = {
+            "LINE_NUM_COEFF": self.row_num, "LINE_DEN_COEFF": self.row_den,
+            "SAMP_NUM_COEFF": self.col_num, "SAMP_DEN_COEFF": self.col_den,
+        }
+        with open(fp, "w") as f:
+            for key, v in scalars.items():
+                f.write(f"{key}: {v:.12f} {units[key]}\n")
+            for prefix, coeffs in polys.items():
+                for i, c in enumerate(coeffs, start=1):
+                    f.write(f"{prefix}_{i}: {c:.12e}\n")
+
     def to_geotiff_tag(self) -> np.ndarray:
         v = np.zeros(92, dtype=np.float64)
         v[0] = -1.0  # ERR_BIAS unknown

@@ -157,3 +157,106 @@ def test_prepared_dataset_is_trainable(raw_dfc, tmp_path):
     pipeline.load_datasets()
     state = Trainer(pipeline, log_every=10).fit(validate_every_epoch=False)
     assert int(state.step) == 4
+
+
+class TestPrecomputedBAImport:
+    """Golden contract test: a recorded sat-bundleadjust output directory
+    (ba_params/{pts3d,pts2d,cam_ind,pts_ind}.npy + geotiff_paths.txt +
+    rpcs_adj/*.rpc_adj, ref: data_prep/processing/step_bundle_adjustment.py:72-97)
+    imports via mode='precomputed' and feeds the depth dataset end-to-end."""
+
+    def _record_ba_output(self, syn, ba):
+        """Invert the meta distribution into the raw BA output layout."""
+        from satnerf_tpu.geo.rpc import RPCModel
+
+        meta_fps = sorted(glob.glob(os.path.join(str(syn), "metas", "*.json")))
+        names = [os.path.basename(f)[:-5] for f in meta_fps]
+        os.makedirs(os.path.join(str(ba), "ba_params"))
+        os.makedirs(os.path.join(str(ba), "rpcs_adj"))
+        orig, pts2d_all, cam_ind, pts_ind, paths = {}, [], [], [], []
+        for ci, fp in enumerate(meta_fps):
+            m = read_json(fp)
+            orig[names[ci]] = m["keypoints"]
+            k = m["keypoints"]
+            pts2d_all.append(np.asarray(k["2d_coordinates"], np.float64))
+            cam_ind += [ci] * len(k["pts3d_indices"])
+            pts_ind += k["pts3d_indices"]
+            # PAN paths exercise the reference's crop/band rewrites
+            paths.append(
+                f"/remote/pan_crops/{m['img'].replace('RGB.tif', 'PAN.tif')}"
+            )
+            RPCModel.from_dict(m["rpc"]).to_rpc_file(
+                os.path.join(str(ba), "rpcs_adj", names[ci] + ".rpc_adj")
+            )
+            del m["keypoints"]  # a real import must recreate them
+            from satnerf_tpu.io.json_io import write_json
+
+            write_json(fp, m)
+        bp = os.path.join(str(ba), "ba_params")
+        np.save(os.path.join(bp, "pts3d.npy"),
+                np.load(os.path.join(str(syn), "pts3d.npy")))
+        np.save(os.path.join(bp, "pts2d.npy"), np.concatenate(pts2d_all))
+        np.save(os.path.join(bp, "cam_ind.npy"), np.asarray(cam_ind))
+        np.save(os.path.join(bp, "pts_ind.npy"), np.asarray(pts_ind))
+        with open(os.path.join(bp, "geotiff_paths.txt"), "w") as f:
+            f.write("\n".join(paths) + "\n")
+        return names, orig
+
+    def test_import_restores_contract_and_feeds_depth_dataset(self, tmp_path):
+        from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+        from satnerf_tpu.data_prep.steps.step_bundle_adjustment import (
+            ProcessingStep,
+        )
+        from satnerf_tpu.datasets import DepthDataset, SemanticDataset
+        from satnerf_tpu.geo.rpc import RPCModel
+
+        syn = tmp_path / "SYN_BA"
+        generate_scene(str(syn), n_train=3, n_test=0, img_size=32,
+                       n_tie_points=100)
+        names, orig = self._record_ba_output(syn, tmp_path / "ba_out")
+
+        cfg = DatasetConfig(general=GeneralConfig(output_dp=str(syn)))
+        scfg = StepConfig(
+            file="step_bundle_adjustment",
+            params={"mode": "precomputed",
+                    "precomputed_dp": str(tmp_path / "ba_out")},
+        )
+        state = {"metas_dp": str(syn / "metas"), "image_names": names}
+        step = ProcessingStep(cfg, scfg, state)
+        step.run(cfg, state)
+        step.update_state(cfg, state, True)
+        assert state["points3d_fp"] == str(syn / "pts3d.npy")
+
+        for name in names:
+            m = read_json(str(syn / "metas" / (name + ".json")))
+            np.testing.assert_allclose(
+                np.asarray(m["keypoints"]["2d_coordinates"]),
+                np.asarray(orig[name]["2d_coordinates"]),
+                atol=1e-9,
+            )
+            assert m["keypoints"]["pts3d_indices"] == orig[name]["pts3d_indices"]
+            # adjusted rpc survived the .rpc_adj text round trip
+            rpc = RPCModel.from_dict(m["rpc"])
+            cols = np.linspace(1, 30, 5)
+            lon, lat = rpc.localization(cols, cols, np.full(5, 10.0))
+            c2, r2 = rpc.projection(lon, lat, np.full(5, 10.0))
+            np.testing.assert_allclose(c2, cols, atol=1e-5)
+
+        # the depth dataset consumes the imported contract end-to-end
+        run = RunConfig(
+            dataset_name="SYN_BA", datasets_dp=str(tmp_path),
+            cache_dp=str(tmp_path / "cache"),
+            workspace_dp=str(tmp_path / "train"),
+        )
+        mcfg = MainConfig(run, RSSemanticConfig())
+        rgb = SemanticDataset(mcfg, "rgb", "train")
+        rgb.load()
+        rgb.initialize_normalization(rgb.combined["rays"])
+        rgb.save_to_cache()
+        depth = DepthDataset(mcfg, "depth", "train")
+        depth.initialize_normalization()
+        depth.load()
+        d = depth.combined
+        assert d["rays"].shape[0] > 0
+        assert (d["weights"] > 0).all() and (d["weights"] <= 1.0).all()
+        assert np.isfinite(d["depths"]).all()
