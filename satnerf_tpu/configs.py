@@ -120,6 +120,10 @@ class NeRFConfig(BaseModel):
     lr_scheduler: str = "step"
     compute_dtype: str = "float32"  # trunk GEMM dtype ("bfloat16" for speed)
     grad_accum: int = 1  # micro-batching factor (memory vs batch size)
+    # chunked-scan remat: field eval in N sequential ray tiles with a
+    # checkpointed scan body; unlocks large single-chip batches (the
+    # backward peaks at one tile's activations). 0/1 disables.
+    remat_chunks: int = 0
 
     @property
     def variant(self) -> str:

@@ -311,17 +311,12 @@ def field_forward(
         return x if (x is None or nf is None) else x[:nf]
 
     if _use_pallas_field(cfg):
-        out = _fused_field_forward(
-            params, cfg, enc_x, sun_d, t_emb, t_s_emb, dt
+        # sc-aware: the kernel is built in two variants — full (all heads)
+        # for the first n_full points, and a sigma+sun_v-only program for the
+        # solar-correction half, mirroring the XLA path's head pruning
+        return _fused_field_forward(
+            params, cfg, enc_x, sun_d, t_emb, t_s_emb, dt, nf
         )
-        if nf is not None:
-            # the fused kernel computes every head on all points; keep the
-            # output contract (heads sliced to n_full) identical to the XLA
-            # path so the renderer is impl-agnostic
-            for k in ("rgb", "sky", "beta", "beta_s", "semantic"):
-                if k in out:
-                    out[k] = out[k][:nf]
-        return out
 
     if _use_pallas_trunk(cfg):
         from satnerf_tpu.ops.pallas.trunk import (
@@ -411,10 +406,17 @@ def field_forward(
 
 
 def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
-                         t_s_emb, dt):
+                         t_s_emb, dt, nf=None):
     """Full trunk+heads evaluation through the fused Pallas kernel
     (ops/pallas/field_fused.py) + the column-wise nonlinearity epilogue.
-    Output dict is identical to the XLA path's."""
+    Output dict is identical to the XLA path's.
+
+    With ``nf`` set (renderer's solar-correction batch layout), the first
+    ``nf`` points run the all-heads kernel and the remaining sc points run
+    the reduced sigma+sun_v-only kernel variant (FieldSpec(heads_on=False))
+    — the sc half's rgb/sky/beta/semantic compute is dead
+    (ref: baseline/components/loss.py:13-29) and is skipped INSIDE the
+    fused program, matching the XLA path's pruning."""
     from satnerf_tpu.ops.pallas.field_fused import (
         COL_BETA,
         COL_RGB,
@@ -444,19 +446,42 @@ def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
     packed_heads = pack_heads(params, spec, kdt)
     aux = pack_aux(spec, sun_d, t_emb, t_s_emb, kdt)
     interpret = jax.default_backend() != "tpu"
-    raw = fused_field(
-        spec, interpret, enc_x.astype(kdt), aux, packed_trunk, packed_heads
-    )
+    x = enc_x.astype(kdt)
+
+    if nf is None:
+        raw = fused_field(spec, interpret, x, aux, packed_trunk, packed_heads)
+        raw_h = raw
+    else:
+        from dataclasses import replace as _replace
+
+        spec_sc = _replace(spec, heads_on=False)
+        packed_sc = pack_heads(params, spec_sc, kdt)
+        aux_sc = pack_aux(
+            spec_sc,
+            sun_d[nf:] if sun_d is not None else None,
+            None, None, kdt,
+        )
+        raw_sc = fused_field(
+            spec_sc, interpret, x[nf:], aux_sc, packed_trunk, packed_sc
+        )
+        if nf == 0:  # pure sigma+sun_v evaluation (chunked-scan sc tiles)
+            raw = raw_sc
+            raw_h = raw_sc[:0]
+        else:
+            raw_h = fused_field(
+                spec, interpret, x[:nf], aux[:nf], packed_trunk, packed_heads
+            )
+            raw = jnp.concatenate([raw_h, raw_sc], axis=0)
 
     out = {"sigma": jax.nn.softplus(raw[:, COL_SIGMA])}
-    rgb = jax.nn.sigmoid(raw[:, COL_RGB : COL_RGB + 3])
+    rgb = jax.nn.sigmoid(raw_h[:, COL_RGB : COL_RGB + 3])
     out["rgb"] = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
     out["sun_v"] = jax.nn.sigmoid(raw[:, COL_SUN : COL_SUN + 1])
-    out["sky"] = jax.nn.sigmoid(raw[:, COL_SKY : COL_SKY + 3])
+    out["sky"] = jax.nn.sigmoid(raw_h[:, COL_SKY : COL_SKY + 3])
     if cfg.has_beta:
-        out["beta"] = jax.nn.softplus(raw[:, COL_BETA : COL_BETA + 1])
+        out["beta"] = jax.nn.softplus(raw_h[:, COL_BETA : COL_BETA + 1])
     if cfg.has_semantic:
-        logits = raw[:, COL_SEM : COL_SEM + cfg.n_classes]
+        logits = raw_h[:, COL_SEM : COL_SEM + cfg.n_classes]
         if cfg.semantic_sigmoid:
             logits = jax.nn.sigmoid(logits)
         out["semantic"] = logits

@@ -73,7 +73,14 @@ COL_SEM = 9
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """Static full-field architecture (hashable; closed over by kernels)."""
+    """Static full-field architecture (hashable; closed over by kernels).
+
+    ``heads_on=False`` builds the solar-correction variant of the kernel:
+    only sigma + the sun-visibility chain are evaluated (the sc pass's loss
+    terms read nothing else — ref: baseline/components/loss.py:13-29, and
+    see ``field_forward(n_full=...)``); the rgb/sky/beta/semantic chains and
+    their weights are dropped from the program entirely.
+    """
 
     trunk: TrunkSpec
     fl: int  # feat_last (head hidden width)
@@ -83,6 +90,7 @@ class FieldSpec:
     has_semantic: bool
     use_tj_for_s: bool
     sep_t_s: bool  # use_separate_tj_for_semantic
+    heads_on: bool = True
 
     def __post_init__(self):
         assert self.fl % LANE == 0 and self.fl <= 512
@@ -100,29 +108,35 @@ class FieldSpec:
 
     def hidden_bias_index(self) -> dict:
         """Static row index of each head-hidden bias in the b_heads stack."""
-        rows = ["rgb0", "sv0", "sv1", "sv2", "sky0"]
-        if self.has_beta:
-            rows.append("b0")
-        if self.has_semantic:
-            rows.append("s0")
+        rows = ["sv0", "sv1", "sv2"]
+        if self.heads_on:
+            rows = ["rgb0"] + rows + ["sky0"]
+            if self.has_beta:
+                rows.append("b0")
+            if self.has_semantic:
+                rows.append("s0")
         return {name: i for i, name in enumerate(rows)}
 
     def head_keys(self) -> list:
-        keys = [
-            "w_feats", "b_feats", "w_rgb0", "w_sv0_f", "w_sv0_aux", "w_sv1",
-            "w_sv2", "w_sky0_aux",
-        ]
-        if self.has_beta:
-            keys += ["w_b0_f", "w_b0_aux"]
-        if self.has_semantic:
-            keys += ["w_s0_f"]
-            if self.use_tj_for_s:
-                keys += ["w_s0_aux"]
-        keys += ["w2_shared", "w2_rgb", "w2_sv", "w2_sky"]
-        if self.has_beta:
-            keys += ["w2_beta"]
-        if self.has_semantic:
-            keys += ["w2_sem"]
+        keys = ["w_feats", "b_feats"]
+        if self.heads_on:
+            keys += ["w_rgb0"]
+        keys += ["w_sv0_f", "w_sv0_aux", "w_sv1", "w_sv2"]
+        if self.heads_on:
+            keys += ["w_sky0_aux"]
+            if self.has_beta:
+                keys += ["w_b0_f", "w_b0_aux"]
+            if self.has_semantic:
+                keys += ["w_s0_f"]
+                if self.use_tj_for_s:
+                    keys += ["w_s0_aux"]
+        keys += ["w2_shared", "w2_sv"]
+        if self.heads_on:
+            keys += ["w2_rgb", "w2_sky"]
+            if self.has_beta:
+                keys += ["w2_beta"]
+            if self.has_semantic:
+                keys += ["w2_sem"]
         keys += ["b_heads", "b_small"]
         return keys
 
@@ -162,8 +176,9 @@ def pack_heads(params: dict, spec: FieldSpec, dtype) -> dict:
     p["w_feats"] = params["feats"]["w"].astype(dtype)  # (F, F)
     p["b_feats"] = params["feats"]["b"].astype(jnp.float32).reshape(1, F)
 
-    p["w_rgb0"] = params["rgb"][0]["w"].astype(dtype)  # (F, fl)
-    hb("rgb0", params["rgb"][0]["b"])
+    if spec.heads_on:
+        p["w_rgb0"] = params["rgb"][0]["w"].astype(dtype)  # (F, fl)
+        hb("rgb0", params["rgb"][0]["b"])
 
     w_sv0 = params["sun_v"][0]["w"]  # (F+3, fl)
     p["w_sv0_f"] = w_sv0[:F, :].astype(dtype)
@@ -174,50 +189,55 @@ def pack_heads(params: dict, spec: FieldSpec, dtype) -> dict:
     p["w_sv2"] = params["sun_v"][2]["w"].astype(dtype)
     hb("sv2", params["sun_v"][2]["b"])
 
-    p["w_sky0_aux"] = _place_rows(params["sky"][0]["w"], dtype, at=0)
-    hb("sky0", params["sky"][0]["b"])
+    if spec.heads_on:
+        p["w_sky0_aux"] = _place_rows(params["sky"][0]["w"], dtype, at=0)
+        hb("sky0", params["sky"][0]["b"])
 
-    if spec.has_beta:
-        w_b0 = params["beta"][0]["w"]  # (F+tau, fl)
-        p["w_b0_f"] = w_b0[:F, :].astype(dtype)
-        p["w_b0_aux"] = _place_rows(w_b0[F:, :], dtype, at=spec.aux_t)
-        hb("b0", params["beta"][0]["b"])
+        if spec.has_beta:
+            w_b0 = params["beta"][0]["w"]  # (F+tau, fl)
+            p["w_b0_f"] = w_b0[:F, :].astype(dtype)
+            p["w_b0_aux"] = _place_rows(w_b0[F:, :], dtype, at=spec.aux_t)
+            hb("b0", params["beta"][0]["b"])
 
-    if spec.has_semantic:
-        w_s0 = params["semantic"][0]["w"]  # (F[+tau], fl)
-        p["w_s0_f"] = w_s0[:F, :].astype(dtype)
-        if spec.use_tj_for_s:
-            at = spec.aux_t_s if spec.sep_t_s else spec.aux_t
-            p["w_s0_aux"] = _place_rows(w_s0[F:, :], dtype, at=at)
-        hb("s0", params["semantic"][0]["b"])
+        if spec.has_semantic:
+            w_s0 = params["semantic"][0]["w"]  # (F[+tau], fl)
+            p["w_s0_f"] = w_s0[:F, :].astype(dtype)
+            if spec.use_tj_for_s:
+                at = spec.aux_t_s if spec.sep_t_s else spec.aux_t
+                p["w_s0_aux"] = _place_rows(w_s0[F:, :], dtype, at=at)
+            hb("s0", params["semantic"][0]["b"])
 
     # final projections -> packed output columns
     p["w2_shared"] = _place_cols(params["sigma"]["w"], dtype, COL_SIGMA)
-    p["w2_rgb"] = _place_cols(params["rgb"][1]["w"], dtype, COL_RGB)
     p["w2_sv"] = _place_cols(params["sun_v"][3]["w"], dtype, COL_SUN)
-    p["w2_sky"] = _place_cols(params["sky"][1]["w"], dtype, COL_SKY)
-    if spec.has_beta:
-        p["w2_beta"] = _place_cols(params["beta"][1]["w"], dtype, COL_BETA)
-    if spec.has_semantic:
-        p["w2_sem"] = _place_cols(params["semantic"][1]["w"], dtype, COL_SEM)
+    if spec.heads_on:
+        p["w2_rgb"] = _place_cols(params["rgb"][1]["w"], dtype, COL_RGB)
+        p["w2_sky"] = _place_cols(params["sky"][1]["w"], dtype, COL_SKY)
+        if spec.has_beta:
+            p["w2_beta"] = _place_cols(params["beta"][1]["w"], dtype, COL_BETA)
+        if spec.has_semantic:
+            p["w2_sem"] = _place_cols(params["semantic"][1]["w"], dtype, COL_SEM)
 
     p["b_heads"] = jnp.stack(hb_rows)  # (n_hidden, fl) f32
 
     bs = jnp.zeros((LANE,), jnp.float32)
     bs = bs.at[COL_SIGMA].set(params["sigma"]["b"][0].astype(jnp.float32))
-    bs = bs.at[COL_RGB : COL_RGB + 3].set(
-        params["rgb"][1]["b"].astype(jnp.float32)
-    )
     bs = bs.at[COL_SUN].set(params["sun_v"][3]["b"][0].astype(jnp.float32))
-    bs = bs.at[COL_SKY : COL_SKY + 3].set(
-        params["sky"][1]["b"].astype(jnp.float32)
-    )
-    if spec.has_beta:
-        bs = bs.at[COL_BETA].set(params["beta"][1]["b"][0].astype(jnp.float32))
-    if spec.has_semantic:
-        bs = bs.at[COL_SEM : COL_SEM + spec.n_classes].set(
-            params["semantic"][1]["b"].astype(jnp.float32)
+    if spec.heads_on:
+        bs = bs.at[COL_RGB : COL_RGB + 3].set(
+            params["rgb"][1]["b"].astype(jnp.float32)
         )
+        bs = bs.at[COL_SKY : COL_SKY + 3].set(
+            params["sky"][1]["b"].astype(jnp.float32)
+        )
+        if spec.has_beta:
+            bs = bs.at[COL_BETA].set(
+                params["beta"][1]["b"][0].astype(jnp.float32)
+            )
+        if spec.has_semantic:
+            bs = bs.at[COL_SEM : COL_SEM + spec.n_classes].set(
+                params["semantic"][1]["b"].astype(jnp.float32)
+            )
     p["b_small"] = bs.reshape(1, LANE)
     return p
 
@@ -227,11 +247,11 @@ def pack_aux(spec: FieldSpec, sun_d, t_emb, t_s_emb, dtype):
     n = sun_d.shape[0]
     aux = jnp.zeros((n, LANE), dtype)
     aux = aux.at[:, 0:3].set(sun_d.astype(dtype))
-    if t_emb is not None and spec.has_beta:
+    if t_emb is not None and spec.has_beta and spec.heads_on:
         aux = aux.at[:, spec.aux_t : spec.aux_t + spec.tau].set(
             t_emb.astype(dtype)
         )
-    if t_s_emb is not None and spec.sep_t_s:
+    if t_s_emb is not None and spec.sep_t_s and spec.heads_on:
         aux = aux.at[:, spec.aux_t_s : spec.aux_t_s + spec.tau].set(
             t_s_emb.astype(dtype)
         )
@@ -256,35 +276,37 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
 
     feats = (_dot(shared, hp["w_feats"]) + hp["b_feats"][0:1, :]).astype(dt)
 
-    hr = _sin_f32(_dot(feats, hp["w_rgb0"]) + bias("rgb0")).astype(dt)
-
     sv = _sin_f32(
         _dot(feats, hp["w_sv0_f"]) + _dot(aux, hp["w_sv0_aux"]) + bias("sv0")
     ).astype(dt)
     sv = _sin_f32(_dot(sv, hp["w_sv1"]) + bias("sv1")).astype(dt)
     sv = _sin_f32(_dot(sv, hp["w_sv2"]) + bias("sv2")).astype(dt)
 
-    hsky = jnp.maximum(
-        _dot(aux, hp["w_sky0_aux"]) + bias("sky0"), 0.0
-    ).astype(dt)
-
     out = _dot(shared, hp["w2_shared"])
-    out = out + _dot(hr, hp["w2_rgb"])
     out = out + _dot(sv, hp["w2_sv"])
-    out = out + _dot(hsky, hp["w2_sky"])
 
-    if spec.has_beta:
-        hbet = _sin_f32(
-            _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"]) + bias("b0")
+    if spec.heads_on:
+        hr = _sin_f32(_dot(feats, hp["w_rgb0"]) + bias("rgb0")).astype(dt)
+        out = out + _dot(hr, hp["w2_rgb"])
+
+        hsky = jnp.maximum(
+            _dot(aux, hp["w_sky0_aux"]) + bias("sky0"), 0.0
         ).astype(dt)
-        out = out + _dot(hbet, hp["w2_beta"])
+        out = out + _dot(hsky, hp["w2_sky"])
 
-    if spec.has_semantic:
-        a_s = _dot(feats, hp["w_s0_f"]) + bias("s0")
-        if spec.use_tj_for_s:
-            a_s = a_s + _dot(aux, hp["w_s0_aux"])
-        hs = _sin_f32(a_s).astype(dt)
-        out = out + _dot(hs, hp["w2_sem"])
+        if spec.has_beta:
+            hbet = _sin_f32(
+                _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"])
+                + bias("b0")
+            ).astype(dt)
+            out = out + _dot(hbet, hp["w2_beta"])
+
+        if spec.has_semantic:
+            a_s = _dot(feats, hp["w_s0_f"]) + bias("s0")
+            if spec.use_tj_for_s:
+                a_s = a_s + _dot(aux, hp["w_s0_aux"])
+            hs = _sin_f32(a_s).astype(dt)
+            out = out + _dot(hs, hp["w2_sem"])
 
     return out + hp["b_small"][0:1, :]
 
@@ -430,9 +452,6 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     a_feats = _dot(shared, hp["w_feats"]) + hp["b_feats"][0:1, :]
     feats = a_feats.astype(dt)
 
-    a_hr = _dot(feats, hp["w_rgb0"]) + bias("rgb0")
-    hr = _sin_f32(a_hr).astype(dt)
-
     a_sv1 = (
         _dot(feats, hp["w_sv0_f"]) + _dot(aux, hp["w_sv0_aux"]) + bias("sv0")
     )
@@ -442,19 +461,24 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     a_sv3 = _dot(sv2, hp["w_sv2"]) + bias("sv2")
     sv3 = _sin_f32(a_sv3).astype(dt)
 
-    a_sky = _dot(aux, hp["w_sky0_aux"]) + bias("sky0")
-    hsky = jnp.maximum(a_sky, 0.0).astype(dt)
+    if spec.heads_on:
+        a_hr = _dot(feats, hp["w_rgb0"]) + bias("rgb0")
+        hr = _sin_f32(a_hr).astype(dt)
 
-    if spec.has_beta:
-        a_hb = (
-            _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"]) + bias("b0")
-        )
-        hbet = _sin_f32(a_hb).astype(dt)
-    if spec.has_semantic:
-        a_hs = _dot(feats, hp["w_s0_f"]) + bias("s0")
-        if spec.use_tj_for_s:
-            a_hs = a_hs + _dot(aux, hp["w_s0_aux"])
-        hs = _sin_f32(a_hs).astype(dt)
+        a_sky = _dot(aux, hp["w_sky0_aux"]) + bias("sky0")
+        hsky = jnp.maximum(a_sky, 0.0).astype(dt)
+
+        if spec.has_beta:
+            a_hb = (
+                _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"])
+                + bias("b0")
+            )
+            hbet = _sin_f32(a_hb).astype(dt)
+        if spec.has_semantic:
+            a_hs = _dot(feats, hp["w_s0_f"]) + bias("s0")
+            if spec.use_tj_for_s:
+                a_hs = a_hs + _dot(aux, hp["w_s0_aux"])
+            hs = _sin_f32(a_hs).astype(dt)
 
     # ---- reverse sweep ------------------------------------------------------
     gb_rows: list = []
@@ -462,14 +486,16 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     g_shared = _dot_a_bt(g_out_dt, hp["w2_shared"])
     gw["w2_shared"][:] += _dot_at_b(shared, g_out_dt)
 
-    # rgb
-    gw["w2_rgb"][:] += _dot_at_b(hr, g_out_dt)
-    ga_hr = (
-        _dot_a_bt(g_out_dt, hp["w2_rgb"]) * _cos_f32(a_hr)
-    ).astype(dt)
-    gw["w_rgb0"][:] += _dot_at_b(feats, ga_hr)
-    g_feats = _dot_a_bt(ga_hr, hp["w_rgb0"])
-    gb_rows.append(("rgb0", ga_hr))
+    g_feats = None
+    if spec.heads_on:
+        # rgb
+        gw["w2_rgb"][:] += _dot_at_b(hr, g_out_dt)
+        ga_hr = (
+            _dot_a_bt(g_out_dt, hp["w2_rgb"]) * _cos_f32(a_hr)
+        ).astype(dt)
+        gw["w_rgb0"][:] += _dot_at_b(feats, ga_hr)
+        g_feats = _dot_a_bt(ga_hr, hp["w_rgb0"])
+        gb_rows.append(("rgb0", ga_hr))
 
     # sun chain
     gw["w2_sv"][:] += _dot_at_b(sv3, g_out_dt)
@@ -480,40 +506,42 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     ga1 = (_dot_a_bt(ga2, hp["w_sv1"]) * _cos_f32(a_sv1)).astype(dt)
     gw["w_sv0_f"][:] += _dot_at_b(feats, ga1)
     gw["w_sv0_aux"][:] += _dot_at_b(aux, ga1)
-    g_feats = g_feats + _dot_a_bt(ga1, hp["w_sv0_f"])
+    g_sv_feats = _dot_a_bt(ga1, hp["w_sv0_f"])
+    g_feats = g_sv_feats if g_feats is None else g_feats + g_sv_feats
     g_aux = _dot_a_bt(ga1, hp["w_sv0_aux"])
     gb_rows += [("sv2", ga3), ("sv1", ga2), ("sv0", ga1)]
 
-    # sky (relu)
-    gw["w2_sky"][:] += _dot_at_b(hsky, g_out_dt)
-    g_hsky = _dot_a_bt(g_out_dt, hp["w2_sky"])
-    ga_sky = jnp.where(a_sky > 0.0, g_hsky, 0.0).astype(dt)
-    gw["w_sky0_aux"][:] += _dot_at_b(aux, ga_sky)
-    g_aux = g_aux + _dot_a_bt(ga_sky, hp["w_sky0_aux"])
-    gb_rows.append(("sky0", ga_sky))
+    if spec.heads_on:
+        # sky (relu)
+        gw["w2_sky"][:] += _dot_at_b(hsky, g_out_dt)
+        g_hsky = _dot_a_bt(g_out_dt, hp["w2_sky"])
+        ga_sky = jnp.where(a_sky > 0.0, g_hsky, 0.0).astype(dt)
+        gw["w_sky0_aux"][:] += _dot_at_b(aux, ga_sky)
+        g_aux = g_aux + _dot_a_bt(ga_sky, hp["w_sky0_aux"])
+        gb_rows.append(("sky0", ga_sky))
 
-    if spec.has_beta:
-        gw["w2_beta"][:] += _dot_at_b(hbet, g_out_dt)
-        ga_hb = (
-            _dot_a_bt(g_out_dt, hp["w2_beta"]) * _cos_f32(a_hb)
-        ).astype(dt)
-        gw["w_b0_f"][:] += _dot_at_b(feats, ga_hb)
-        gw["w_b0_aux"][:] += _dot_at_b(aux, ga_hb)
-        g_feats = g_feats + _dot_a_bt(ga_hb, hp["w_b0_f"])
-        g_aux = g_aux + _dot_a_bt(ga_hb, hp["w_b0_aux"])
-        gb_rows.append(("b0", ga_hb))
+        if spec.has_beta:
+            gw["w2_beta"][:] += _dot_at_b(hbet, g_out_dt)
+            ga_hb = (
+                _dot_a_bt(g_out_dt, hp["w2_beta"]) * _cos_f32(a_hb)
+            ).astype(dt)
+            gw["w_b0_f"][:] += _dot_at_b(feats, ga_hb)
+            gw["w_b0_aux"][:] += _dot_at_b(aux, ga_hb)
+            g_feats = g_feats + _dot_a_bt(ga_hb, hp["w_b0_f"])
+            g_aux = g_aux + _dot_a_bt(ga_hb, hp["w_b0_aux"])
+            gb_rows.append(("b0", ga_hb))
 
-    if spec.has_semantic:
-        gw["w2_sem"][:] += _dot_at_b(hs, g_out_dt)
-        ga_hs = (
-            _dot_a_bt(g_out_dt, hp["w2_sem"]) * _cos_f32(a_hs)
-        ).astype(dt)
-        gw["w_s0_f"][:] += _dot_at_b(feats, ga_hs)
-        g_feats = g_feats + _dot_a_bt(ga_hs, hp["w_s0_f"])
-        if spec.use_tj_for_s:
-            gw["w_s0_aux"][:] += _dot_at_b(aux, ga_hs)
-            g_aux = g_aux + _dot_a_bt(ga_hs, hp["w_s0_aux"])
-        gb_rows.append(("s0", ga_hs))
+        if spec.has_semantic:
+            gw["w2_sem"][:] += _dot_at_b(hs, g_out_dt)
+            ga_hs = (
+                _dot_a_bt(g_out_dt, hp["w2_sem"]) * _cos_f32(a_hs)
+            ).astype(dt)
+            gw["w_s0_f"][:] += _dot_at_b(feats, ga_hs)
+            g_feats = g_feats + _dot_a_bt(ga_hs, hp["w_s0_f"])
+            if spec.use_tj_for_s:
+                gw["w_s0_aux"][:] += _dot_at_b(aux, ga_hs)
+                g_aux = g_aux + _dot_a_bt(ga_hs, hp["w_s0_aux"])
+            gb_rows.append(("s0", ga_hs))
 
     # feats = shared @ w_feats + b (linear)
     g_feats_dt = g_feats.astype(dt)

@@ -51,6 +51,13 @@ class RenderConfig:
     # FLOPs for O(batch) instead of O(batch*layers) activation memory,
     # unlocking large ray batches on a single chip
     remat: bool = False
+    # chunked-scan remat: evaluate the field in remat_chunks sequential ray
+    # tiles via lax.scan with a checkpointed body. Peak backward memory
+    # becomes O(outputs + one tile's activations) instead of the whole
+    # batch's activations — the whole-eval `remat` flag cannot cut that peak
+    # because XLA still materialises every layer of the full batch during
+    # the recompute. 0/1 disables.
+    remat_chunks: int = 0
 
     @property
     def dtype(self):
@@ -183,13 +190,34 @@ def _render_pass(
             n_full=B * S if run_sc else None,
         )
 
-    if rcfg.remat:
-        eval_field = jax.checkpoint(eval_field)
+    if rcfg.remat_chunks > 1:
+        # chunked-scan remat: the main (heads-on) and sc (sigma+sun-only)
+        # halves are scanned separately so every scan iteration runs an
+        # identical program; backward peaks at one tile's activations
+        vd, sd, te, tse = (
+            _per_point(x, S) if x is not None else None
+            for x in (view_dir, sun_d, t_emb, t_s_emb)
+        )
+        raw = _scan_eval(
+            field_params, rcfg, xyz.reshape(-1, 3), vd, sd, te, tse,
+            heads=True,
+        )
+        if run_sc:
+            raw_sc = _scan_eval(
+                field_params, rcfg, xyz_sc.reshape(-1, 3), vd, sd, te, tse,
+                heads=False,
+            )
+            raw = dict(raw)
+            for k in ("sigma", "sun_v"):
+                raw[k] = jnp.concatenate([raw[k], raw_sc[k]], axis=0)
+    else:
+        if rcfg.remat:
+            eval_field = jax.checkpoint(eval_field)
 
-    raw = eval_field(
-        field_params, pts, tile(view_dir), tile(sun_d), tile(t_emb),
-        tile(t_s_emb),
-    )
+        raw = eval_field(
+            field_params, pts, tile(view_dir), tile(sun_d), tile(t_emb),
+            tile(t_s_emb),
+        )
 
     def unflat(x, ch=None):
         if x.ndim == 1:
@@ -248,6 +276,49 @@ def _render_pass(
         result["sun_sc"] = unflat(raw["sun_v"])[B:]
 
     return result
+
+
+def _scan_eval(field_params, rcfg: RenderConfig, pts, view_dir, sun_d, t_emb,
+               t_s_emb, heads: bool) -> dict:
+    """Evaluate the field over ``rcfg.remat_chunks`` sequential point tiles
+    with a checkpointed scan body (see RenderConfig.remat_chunks).
+
+    ``heads=False`` evaluates with n_full=0 — sigma + sun_v only — used for
+    the solar-correction half whose other heads are dead compute."""
+    fcfg = rcfg.field
+    dt = None if rcfg.compute_dtype == "float32" else rcfg.dtype
+    n = pts.shape[0]
+    n_chunks = rcfg.remat_chunks
+    tile_n = -(-n // n_chunks)
+    pad = tile_n * n_chunks - n
+
+    def prep(x):
+        if x is None:
+            return None
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape(n_chunks, tile_n, x.shape[-1])
+
+    arrs = [prep(a) for a in (pts, view_dir, sun_d, t_emb, t_s_emb)]
+    present = [i for i, a in enumerate(arrs) if a is not None]
+    stacked = tuple(arrs[i] for i in present)
+
+    def body(carry, xs):
+        full: list = [None] * 5
+        for i, x in zip(present, xs):
+            full[i] = x
+        out = field_forward(
+            field_params, fcfg, full[0], view_dir=full[1], sun_d=full[2],
+            t_emb=full[3], t_s_emb=full[4], compute_dtype=dt,
+            n_full=None if heads else 0,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(jax.checkpoint(body), None, stacked)
+    return jax.tree.map(
+        lambda x: x.reshape(-1, *x.shape[2:])[: (n if x.shape[1] else 0)],
+        outs,
+    )
 
 
 def render_image_chunked(

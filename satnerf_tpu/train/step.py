@@ -311,6 +311,7 @@ def step_config_from_main(
         compute_dtype=getattr(p, "compute_dtype", "float32"),
         n_importance=getattr(p, "n_importance", 0),
         use_fine_network=getattr(p, "use_fine_network", False),
+        remat_chunks=getattr(p, "remat_chunks", 0),
     )
     depth = getattr(p, "depth_enabled", False) if with_depth is None else with_depth
     return StepConfig(

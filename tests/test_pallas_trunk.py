@@ -240,3 +240,87 @@ class TestFusedFullField:
         assert "beta_semantic" not in out_x  # separate beta key name check
         for k in out_x:
             assert float(jnp.max(jnp.abs(out_x[k] - out_p[k]))) < 5e-5
+
+
+class TestScAwareFusedField:
+    """The sc-aware split (FieldSpec(heads_on=False) on the solar-correction
+    half) must be numerically identical to the XLA path's n_full pruning."""
+
+    BASE = dict(variant="rs_semantic", layers=4, feat=256, skips=(2,),
+                siren=True, mapping=True, n_classes=5)
+
+    def _setup(self, n=320, nf=192):
+        cfg_x = FieldConfig(trunk_impl="xla", **self.BASE)
+        cfg_p = FieldConfig(trunk_impl="pallas", **self.BASE)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), n, cfg_x)
+        return cfg_x, cfg_p, params, xyz, sun_d, t_emb, nf
+
+    def test_forward_matches_with_n_full(self):
+        cfg_x, cfg_p, params, xyz, sun_d, t_emb, nf = self._setup()
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb,
+                              n_full=nf)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb,
+                              n_full=nf)
+        assert set(out_x) == set(out_p)
+        # heads restricted to the first nf points, sigma/sun over all
+        assert out_p["rgb"].shape[0] == nf
+        assert out_p["semantic"].shape[0] == nf
+        assert out_p["sigma"].shape[0] == xyz.shape[0]
+        assert out_p["sun_v"].shape[0] == xyz.shape[0]
+        for k in out_x:
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-5, (k, err)
+
+    def test_grads_match_with_n_full(self):
+        cfg_x, cfg_p, params, xyz, sun_d, t_emb, nf = self._setup(n=256,
+                                                                  nf=128)
+
+        def loss(cfg):
+            def f(p, x):
+                o = field_forward(p, cfg, x, sun_d=sun_d, t_emb=t_emb,
+                                  n_full=nf)
+                return sum(jnp.sum(v ** 2) for v in o.values())
+            return f
+
+        gx = jax.grad(loss(cfg_x), argnums=(0, 1))(params, xyz)
+        gp = jax.grad(loss(cfg_p), argnums=(0, 1))(params, xyz)
+        fx, _ = ravel_pytree(gx)
+        fp, _ = ravel_pytree(gp)
+        fx, fp = np.asarray(fx), np.asarray(fp)
+        cos = float(fx @ fp / (np.linalg.norm(fx) * np.linalg.norm(fp)))
+        assert cos > 1.0 - 1e-6
+        assert (
+            abs(np.linalg.norm(fx) - np.linalg.norm(fp))
+            < 1e-3 * np.linalg.norm(fx)
+        )
+
+    def test_renderer_solar_correction_equivalence(self):
+        """End to end: fused render with sc pass, pallas vs xla."""
+        from satnerf_tpu.render.renderer import RenderConfig, render_rays
+        from satnerf_tpu.train.state import init_params
+
+        cfg_x, cfg_p, params_f, _, _, _, _ = self._setup()
+        params = {"field": params_f,
+                  "t": jax.random.normal(jax.random.PRNGKey(3), (8, 4)) * 0.1}
+        rng = np.random.default_rng(0)
+        b = 24
+        o = rng.uniform(-0.4, 0.4, (b, 3)).astype(np.float32)
+        d = np.tile([[0.0, 0.0, -1.0]], (b, 1)).astype(np.float32)
+        rays = jnp.asarray(np.concatenate(
+            [o, d, np.zeros((b, 1), np.float32), np.ones((b, 1), np.float32)],
+            axis=1,
+        ))
+        sun = np.tile([[0.3, 0.3, 0.9]], (b, 1)).astype(np.float32)
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        extras = jnp.asarray(np.concatenate(
+            [sun, (np.arange(b) % 8)[:, None].astype(np.float32)], axis=1
+        ))
+        rx = RenderConfig(field=cfg_x, n_samples=8, solar_correction=True)
+        rp = RenderConfig(field=cfg_p, n_samples=8, solar_correction=True)
+        ox = render_rays(params, rx, rays, extras, key=None)
+        op = render_rays(params, rp, rays, extras, key=None)
+        for k in ("rgb", "depth", "beta", "weights_sc", "sun_sc",
+                  "transparency_sc", "semantic_logits"):
+            err = float(jnp.max(jnp.abs(ox[k] - op[k])))
+            assert err < 5e-5, (k, err)

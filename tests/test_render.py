@@ -172,3 +172,121 @@ def test_solar_correction_outputs_unchanged_by_pruning():
                                    err_msg=name)
     for name in ("weights_sc", "transparency_sc", "sun_sc"):
         assert np.all(np.isfinite(out_sc[name])), name
+
+
+class TestChunkedScanRemat:
+    """remat_chunks (chunked-scan field eval) must be numerically identical
+    to the direct eval — forward and gradients."""
+
+    def _cfg(self, remat_chunks=0, trunk_impl="xla"):
+        from satnerf_tpu.models.field import FieldConfig
+        from satnerf_tpu.render.renderer import RenderConfig
+
+        fcfg = FieldConfig(variant="rs_semantic", layers=2, feat=64,
+                           skips=(1,), mapping=True, n_classes=5,
+                           trunk_impl=trunk_impl)
+        return RenderConfig(field=fcfg, n_samples=8, solar_correction=True,
+                            remat_chunks=remat_chunks)
+
+    def _data(self, b=20):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        o = rng.uniform(-0.4, 0.4, (b, 3)).astype(np.float32)
+        d = np.tile([[0.0, 0.0, -1.0]], (b, 1)).astype(np.float32)
+        rays = np.concatenate(
+            [o, d, np.zeros((b, 1), np.float32), np.ones((b, 1), np.float32)],
+            axis=1,
+        )
+        sun = np.tile([[0.3, 0.3, 0.9]], (b, 1)).astype(np.float32)
+        sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+        extras = np.concatenate(
+            [sun, (np.arange(b) % 4)[:, None].astype(np.float32)], axis=1
+        )
+        return jnp.asarray(rays), jnp.asarray(extras)
+
+    def test_forward_matches_direct(self):
+        from satnerf_tpu.render.renderer import render_rays
+        from satnerf_tpu.train.state import init_params
+
+        rc0 = self._cfg(0)
+        rc4 = self._cfg(4)
+        params = init_params(jax.random.PRNGKey(0), rc0.field, t_vocab=4)
+        rays, extras = self._data()
+        o0 = render_rays(params, rc0, rays, extras, key=None)
+        o4 = render_rays(params, rc4, rays, extras, key=None)
+        assert set(o0) == set(o4)
+        for k in o0:
+            err = float(jnp.max(jnp.abs(o0[k] - o4[k])))
+            assert err < 1e-5, (k, err)
+
+    def test_forward_matches_uneven_tiles(self):
+        """Point count not divisible by remat_chunks exercises the padding."""
+        from satnerf_tpu.render.renderer import render_rays
+        from satnerf_tpu.train.state import init_params
+
+        rc0 = self._cfg(0)
+        rc3 = self._cfg(3)
+        params = init_params(jax.random.PRNGKey(0), rc0.field, t_vocab=4)
+        rays, extras = self._data(b=17)  # 17*8 points, 3 tiles -> pad
+        o0 = render_rays(params, rc0, rays, extras, key=None)
+        o3 = render_rays(params, rc3, rays, extras, key=None)
+        for k in o0:
+            err = float(jnp.max(jnp.abs(o0[k] - o3[k])))
+            assert err < 1e-5, (k, err)
+
+    def test_grads_match_direct(self):
+        from jax.flatten_util import ravel_pytree
+
+        from satnerf_tpu.render.renderer import render_rays
+        from satnerf_tpu.train.state import init_params
+
+        rc0 = self._cfg(0)
+        rc4 = self._cfg(4)
+        params = init_params(jax.random.PRNGKey(0), rc0.field, t_vocab=4)
+        rays, extras = self._data()
+
+        def loss(rcfg):
+            def f(p):
+                o = render_rays(p, rcfg, rays, extras, key=None)
+                return (
+                    jnp.sum(o["rgb"] ** 2)
+                    + jnp.sum(o["weights_sc"] * o["sun_sc"][..., 0])
+                    + jnp.sum(o["semantic_logits"] ** 2)
+                    + jnp.sum(o["beta"])
+                )
+            return f
+
+        g0, _ = ravel_pytree(jax.grad(loss(rc0))(params))
+        g4, _ = ravel_pytree(jax.grad(loss(rc4))(params))
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g4), atol=2e-5, rtol=1e-4
+        )
+
+    def test_training_step_runs_under_jit(self):
+        from satnerf_tpu.train.state import create_train_state, make_optimizer
+        from satnerf_tpu.train.step import StepConfig, build_train_step
+
+        rc = self._cfg(4)
+        scfg = StepConfig(render=rc, steps_per_epoch=4, sc_lambda=0.05,
+                          first_beta_epoch=0, semantic=True, car_index=4)
+        opt = make_optimizer(1e-3, steps_per_epoch=4)
+        state = create_train_state(jax.random.PRNGKey(0), rc.field, opt,
+                                   t_vocab=4)
+        step = jax.jit(build_train_step(scfg, opt))
+        rays, extras = self._data(b=32)
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        batch = {
+            "rays": rays, "extras": extras,
+            "rgbs": jnp.asarray(
+                rng.uniform(0, 1, (32, 3)).astype(np.float32)
+            ),
+            "semantic": jnp.asarray(rng.integers(0, 5, (32, 1))),
+            "semantic_sparsity_mask": jnp.ones(32, dtype=bool),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,146 @@
+"""Our half of the trained-vs-trained anchor: train satnerf_tpu on the shared
+synthetic scene at the matched configuration (production settings: bf16 GEMMs
++ fast_sin), evaluate the test split with the same metric code as
+tools/ref_torch_train.py, and emit a comparable results JSON.
+
+Runs on whatever platform JAX resolves (the TPU tunnel in this environment);
+the reference side runs torch on CPU. Quality metrics are platform-neutral.
+
+Usage:
+  python tools/ours_train_eval.py <scene_dp> <out_dp> [--steps N] [--batch B]
+      [--n-samples S] [--units U] [--seed K] [--dtype bfloat16|float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene_dp")
+    ap.add_argument("out_dp")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--n-samples", type=int, default=32)
+    ap.add_argument("--units", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--steps-per-dispatch", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.pipelines import load_pipeline
+    from satnerf_tpu.train.loop import Trainer
+
+    os.makedirs(args.out_dp, exist_ok=True)
+    run = RunConfig(
+        dataset_name=os.path.basename(args.scene_dp.rstrip("/")),
+        datasets_dp=os.path.dirname(args.scene_dp.rstrip("/")),
+        cache_dp=os.path.join(args.out_dp, "cache"),
+        workspace_dp=os.path.join(args.out_dp, "training"),
+        max_train_steps=args.steps,
+        check_val_every_n_epoch=10,
+        num_sanity_val_steps=0,
+        seed=args.seed,
+        steps_per_dispatch=args.steps_per_dispatch,
+    )
+    # matched with tools/ref_torch_train.py make_cfgs (reference defaults)
+    pipe = RSSemanticConfig(
+        n_samples=args.n_samples,
+        fc_units=args.units,
+        batch_size=args.batch,
+        ignore_car_index=False,
+        use_car_reg_loss=True,
+        car_reg_loss_start=3,
+        lambda_c=1.0,
+        compute_dtype=args.dtype,
+    )
+    cfg = MainConfig(run, pipe)
+    pipeline = load_pipeline(cfg)
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+
+    trainer = Trainer(pipeline, log_every=100)
+    t0 = time.time()
+    state = trainer.fit()
+    train_seconds = time.time() - t0
+
+    results = evaluate_ours(args, pipeline, state)
+    results["train_seconds"] = train_seconds
+    results["steps"] = args.steps
+    results["it_per_s"] = args.steps / train_seconds
+    with open(os.path.join(args.out_dp, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "history"},
+                     indent=2))
+    return 0
+
+
+def evaluate_ours(args, pipeline, state) -> dict:
+    """Identical metric flow to ref_torch_train.evaluate_reference."""
+    import jax.numpy as jnp
+
+    from satnerf_tpu.eval import metrics
+    from satnerf_tpu.eval.dsm import compute_dsm_and_mae
+    from satnerf_tpu.eval.semantic_metrics import (
+        confusion_matrix,
+        semantic_accuracy,
+        semantic_miou,
+    )
+    from satnerf_tpu.render.renderer import render_image_chunked
+
+    test = pipeline.datasets["rgb_test"]
+    rcfg = pipeline.step_config(1).render
+    out: dict = {"per_image": {}}
+    psnrs, ssims, maes, accs = [], [], [], []
+    conf_total = None
+    for i in range(1, len(test.data)):  # skip the prepended train view
+        img = test.image_item(i)
+        res = render_image_chunked(
+            state.params, rcfg, img["rays"], img["extras"], chunk=8192
+        )
+        h, w = img["h"], img["w"]
+        gt = img["rgbs"].reshape(h, w, 3)
+        pred = np.asarray(res["rgb"]).reshape(h, w, 3)
+        psnr_ = float(metrics.psnr(jnp.asarray(pred), jnp.asarray(gt)))
+        ssim_ = float(metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
+        mae = compute_dsm_and_mae(
+            test, img["rays"], np.asarray(res["depth"]), args.out_dp,
+            img["name"], 0,
+        )
+        sem_pred = np.asarray(res["semantic_logits"]).argmax(-1)
+        sem_gt = np.asarray(img["semantic"]).reshape(-1)
+        acc = semantic_accuracy(sem_pred, sem_gt)
+        conf = confusion_matrix(
+            sem_pred, sem_gt, test.semantic_n_classes, normalize=None
+        )
+        conf_total = conf if conf_total is None else conf_total + conf
+        out["per_image"][img["name"]] = {
+            "psnr": psnr_, "ssim": ssim_, "mae": float(mae["mean"]),
+            "acc": acc,
+        }
+        psnrs.append(psnr_)
+        ssims.append(ssim_)
+        maes.append(float(mae["mean"]))
+        accs.append(acc)
+    out["psnr"] = float(np.mean(psnrs))
+    out["ssim"] = float(np.mean(ssims))
+    out["mae"] = float(np.mean(maes))
+    out["acc"] = float(np.mean(accs))
+    out["miou"] = float(semantic_miou(conf_total))
+    return out
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
