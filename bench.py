@@ -22,9 +22,12 @@ on the V100/A100-class hardware the reference targets (the original SatNeRF
 reports ~10 h for 300k iterations => ~8.3 it/s).
 
 Verified on one v5e chip (2026-08-17, honest readback timing, incl. the
-solar-correction head pruning): 40.9k rays/s at batch 8192 bf16
-(200 ms/step), 30.5k rays/s f32 (269 ms/step), 30.5k rays/s at the
-reference batch of 1024 bf16 (33.6 ms/step, pre-pruning).
+solar-correction head pruning + the round-2 minimax sine): 42.7k rays/s at
+batch 8192 bf16 (192 ms/step), 30.5k rays/s f32 (269 ms/step), 30.5k
+rays/s at the reference batch of 1024 bf16 (33.6 ms/step, pre-pruning).
+Large-batch modes (see docs/performance.md): batch 16384 via
+SATNERF_BENCH_REMAT_CHUNKS=2 (37.1k) or SATNERF_BENCH_IMPL=pallas
+(39.2k).
 """
 
 from __future__ import annotations
@@ -39,13 +42,18 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 10_240.0
 
 # Most recent verified measurement on this hardware (2026-08-17, honest
-# scan+readback timing, batch 8192 bf16, sc head pruning): reported with
-# "stale": true if the live run cannot complete (e.g. the single-tenant
-# TPU tunnel is held by another client).
-LAST_KNOWN_RAYS_PER_SEC = 40_900.0
+# scan+readback timing, batch 8192 bf16, sc head pruning + minimax sine):
+# reported with "stale": true if the live run cannot complete (e.g. the
+# single-tenant TPU tunnel is held by another client).
+LAST_KNOWN_RAYS_PER_SEC = 42_700.0
 
-BATCH_SIZE = 8192
+# Production config; overridable for large-batch / impl experiments:
+#   SATNERF_BENCH_BATCH=16384 SATNERF_BENCH_IMPL=pallas python bench.py
+#   SATNERF_BENCH_REMAT_CHUNKS=2 for the chunked-scan remat path
+BATCH_SIZE = int(os.environ.get("SATNERF_BENCH_BATCH", 8192))
 DEPTH_RAYS = 1024
+TRUNK_IMPL = os.environ.get("SATNERF_BENCH_IMPL", "xla")
+REMAT_CHUNKS = int(os.environ.get("SATNERF_BENCH_REMAT_CHUNKS", 0))
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
 
@@ -82,9 +90,11 @@ def main(deadline_s: float | None = None) -> None:
     from satnerf_tpu.train.state import create_train_state, make_optimizer
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
-    fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True, n_classes=5)
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
+                       n_classes=5, trunk_impl=TRUNK_IMPL)
     rcfg = RenderConfig(
-        field=fcfg, n_samples=64, solar_correction=True, compute_dtype="bfloat16"
+        field=fcfg, n_samples=64, solar_correction=True,
+        compute_dtype="bfloat16", remat_chunks=REMAT_CHUNKS,
     )
     scfg = StepConfig(
         render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,

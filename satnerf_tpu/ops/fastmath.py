@@ -34,14 +34,14 @@ _INV_PI2 = 1.0 / (2.0 * np.pi)
 _HALF_PI = np.pi / 2.0
 
 # Odd polynomial sin(x) ~ x + x^3 * P(x^2), valid on the FULL [-pi/2, pi/2]
-# fold range: Taylor through x^11 (truncation < 6e-8 at the +-pi/2 edge;
-# f32 rounding noise dominates). NB the classic Cephes kernel is only valid
-# on [-pi/4, pi/4] and hits 7e-5 error at +-pi/2 — do not swap it back in.
-_S1 = -1.0 / 6.0
-_S2 = 1.0 / 120.0
-_S3 = -1.0 / 5040.0
-_S4 = 1.0 / 362880.0
-_S5 = -1.0 / 39916800.0
+# fold range: MINIMAX degree 7 (Remez-fitted over the fold; max abs error
+# 1.75e-6 in f32 — at the overall fast_sin error budget, two Horner steps
+# cheaper than the Taylor-x^11 kernel it replaced). NB Taylor coefficients
+# of the same degree hit 1.6e-4 at +-pi/2 and the classic Cephes kernel is
+# only valid on [-pi/4, pi/4] (7e-5 at +-pi/2) — neither is a drop-in.
+_S1 = -1.666516854544e-01
+_S2 = 8.305977379154e-03
+_S3 = -1.831411277453e-04
 
 
 def fast_sin(x):
@@ -57,9 +57,7 @@ def fast_sin(x):
     r = jnp.where(r > _HALF_PI, np.pi - r, r)
     r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
     r2 = r * r
-    p = _S5
-    p = p * r2 + _S4
-    p = p * r2 + _S3
+    p = _S3
     p = p * r2 + _S2
     p = p * r2 + _S1
     return (r + r * r2 * p).astype(dtype)

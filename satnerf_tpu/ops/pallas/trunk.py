@@ -48,8 +48,6 @@ from satnerf_tpu.ops.fastmath import (
     _S1,
     _S2,
     _S3,
-    _S4,
-    _S5,
 )
 
 LANE = 128  # TPU lane width: first-layer input is padded to this
@@ -88,11 +86,9 @@ def _reduce(x):
 
 
 def _sin_poly(r):
-    """Odd polynomial on the [-pi/2, pi/2] fold (see ops/fastmath.py)."""
+    """Odd minimax polynomial on the [-pi/2, pi/2] fold (ops/fastmath.py)."""
     r2 = r * r
-    p = _S5
-    p = p * r2 + _S4
-    p = p * r2 + _S3
+    p = _S3
     p = p * r2 + _S2
     p = p * r2 + _S1
     return r + r * r2 * p
