@@ -115,3 +115,19 @@ class EpochSampler:
         out = self._perm[self._pos : self._pos + self.batch_size]
         self._pos += self.batch_size
         return out
+
+    def fast_forward(self, n_batches: int) -> None:
+        """Advance the stream as if ``n_batches`` had already been drawn.
+
+        Used on checkpoint resume so the post-resume batch sequence is
+        identical to the uninterrupted run's (the per-step PRNG key is
+        already step-indexed via fold_in; the permutation stream was the
+        only resume-nondeterministic state). Replays the exact epoch/pos
+        state machine of next_batch without materialising batches.
+        """
+        for _ in range(int(n_batches)):
+            if self._pos + self.batch_size > self._perm.size:
+                self._new_epoch()
+                if self._perm.size:
+                    self.epoch += 1
+            self._pos += self.batch_size

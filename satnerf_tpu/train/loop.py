@@ -294,6 +294,14 @@ class Trainer:
         # over a remote device tunnel); the device counter is only consulted
         # once here and at checkpoints
         start_step = int(jax.device_get(state.step))
+        if start_step:
+            # resume determinism: replay the samplers to where the
+            # interrupted run left off, so the post-resume batch sequence
+            # (and with it the whole trajectory — per-step PRNG keys are
+            # step-indexed) matches the uninterrupted run's
+            sampler.fast_forward(start_step)
+            if depth_sampler is not None:
+                depth_sampler.fast_forward(min(start_step, ds_drop))
         step_i = start_step
         last_log_step = start_step
         prev_handlers = self._install_signal_handlers()

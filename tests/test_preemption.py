@@ -99,3 +99,58 @@ def test_warm_start_from_explicit_ckpoint_fp(tmp_path):
 
     assert int(jax.device_get(state.step)) == 8
     assert cfg2.run.run_dp != cfg1.run.run_dp
+
+
+def test_resume_trajectory_matches_uninterrupted(tmp_path):
+    """Same seed: interrupt + resume must land on EXACTLY the same params as
+    an uninterrupted run (sampler fast-forward + step-indexed PRNG keys)."""
+    import numpy as np
+
+    import jax
+
+    generate_scene(
+        str(tmp_path / "ds" / "SYN_DET"), n_train=2, n_test=1, img_size=32,
+        n_tie_points=60,
+    )
+
+    def make_cfg(workspace):
+        run = RunConfig(
+            dataset_name="SYN_DET", datasets_dp=str(tmp_path / "ds"),
+            cache_dp=str(tmp_path / "cache"),
+            workspace_dp=str(tmp_path / workspace),
+            max_train_steps=36, num_sanity_val_steps=0, seed=3,
+        )
+        pipe = SatNeRFConfig(
+            n_samples=4, fc_layers=2, fc_units=32, fc_skips=[1],
+            batch_size=128, depth_enabled=True, render_chunk_size=2048,
+            first_beta_epoch=1,
+        )
+        return MainConfig(run, pipe)
+
+    # uninterrupted run: 36 steps (crosses epoch boundaries at 16 rays*128)
+    cfg_a = make_cfg("train_a")
+    pa = load_pipeline(cfg_a)
+    pa.prepare_run()
+    pa.load_datasets()
+    state_a = Trainer(pa, log_every=1000).fit(validate_every_epoch=False)
+    assert int(state_a.step) == 36
+
+    # interrupted at 20, resumed to 36
+    cfg_b = make_cfg("train_b")
+    pb = load_pipeline(cfg_b)
+    pb.prepare_run()
+    pb.load_datasets()
+    state_b1 = Trainer(pb, log_every=1000).fit(
+        max_steps=20, validate_every_epoch=False
+    )
+    assert int(state_b1.step) == 20
+    cfg_b.run.resume_from_ckpoint = True
+    state_b = Trainer(pb, log_every=1000).fit(validate_every_epoch=False)
+    assert int(state_b.step) == 36
+
+    flat_a = jax.flatten_util.ravel_pytree(state_a.params)[0]
+    flat_b = jax.flatten_util.ravel_pytree(state_b.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(flat_a), np.asarray(flat_b), atol=1e-6,
+        err_msg="resumed trajectory diverged from the uninterrupted run",
+    )
