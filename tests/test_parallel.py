@@ -179,3 +179,29 @@ def test_dp_sharded_step_with_pallas_kernels():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), st_p.params, st_x.params
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_sharded_step_with_chunked_scan_remat():
+    """remat_chunks composes with DP sharding: the checkpointed scan runs
+    inside each shard and the result matches the plain sharded step."""
+    from dataclasses import replace
+
+    scfg, opt, state, batch = _setup()
+    scfg_remat = replace(scfg, render=replace(scfg.render, remat_chunks=2))
+    mesh = make_mesh(8)
+
+    plain = shard_train_step(build_train_step(scfg, opt), mesh)
+    remat = shard_train_step(build_train_step(scfg_remat, opt), mesh)
+    sb = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(1)
+    s1, m1 = plain(state, sb, key)
+    s2, m2 = remat(state, sb, key)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    f1 = jax.flatten_util.ravel_pytree(s1.params)[0]
+    f2 = jax.flatten_util.ravel_pytree(s2.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f2), atol=2e-6,
+        err_msg="remat_chunks changed the sharded update",
+    )
