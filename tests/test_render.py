@@ -290,3 +290,22 @@ class TestChunkedScanRemat:
         }
         state, metrics = step(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_forward_matches_with_fine_sampling(self):
+        """remat_chunks composes with hierarchical (n_importance) passes."""
+        from dataclasses import replace
+
+        from satnerf_tpu.render.renderer import render_rays
+        from satnerf_tpu.train.state import init_params
+
+        rc0 = replace(self._cfg(0), n_importance=8)
+        rc4 = replace(self._cfg(4), n_importance=8)
+        params = init_params(jax.random.PRNGKey(0), rc0.field, t_vocab=4)
+        rays, extras = self._data(b=12)
+        o0 = render_rays(params, rc0, rays, extras, key=None)
+        o4 = render_rays(params, rc4, rays, extras, key=None)
+        for k in ("rgb", "depth", "weights", "semantic_logits"):
+            err = float(jnp.max(jnp.abs(o0[k] - o4[k])))
+            assert err < 1e-5, (k, err)
+        err = float(jnp.max(jnp.abs(o0["coarse"]["rgb"] - o4["coarse"]["rgb"])))
+        assert err < 1e-5
