@@ -64,6 +64,8 @@ BATCH_SIZE = int(os.environ.get("SATNERF_BENCH_BATCH", 8192))
 DEPTH_RAYS = 1024
 TRUNK_IMPL = os.environ.get("SATNERF_BENCH_IMPL", "xla")
 REMAT_CHUNKS = int(os.environ.get("SATNERF_BENCH_REMAT_CHUNKS", 0))
+CONFIG_DESC = f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16"
+IS_DEFAULT_CONFIG = (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS) == (8192, "xla", 0)
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
 
@@ -156,6 +158,7 @@ def main(deadline_s: float | None = None) -> None:
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+                "config": CONFIG_DESC,
             }
         )
     )
@@ -191,8 +194,12 @@ def _guarded_main(timeout_s: float = 720.0) -> None:
                         LAST_KNOWN_RAYS_PER_SEC / REFERENCE_RAYS_PER_SEC, 3
                     ),
                     "stale": True,
+                    "config": "batch8192/xla/chunks0/bf16 (last-known default)",
                     "error": "live bench did not complete (device unavailable); "
-                             "value is the last verified measurement",
+                             "value is the last verified measurement"
+                             + ("" if IS_DEFAULT_CONFIG else
+                                f" FOR THE DEFAULT CONFIG, not the requested "
+                                f"{CONFIG_DESC}"),
                 }
             )
         )

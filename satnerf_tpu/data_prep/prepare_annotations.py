@@ -171,10 +171,12 @@ def coco_to_masks(
         mask = coco_mask_for_image(
             coco, img_id, h, w, default_class=default_class, no_cars=no_cars
         )
-        np.save(
-            os.path.join(out_dp, os.path.splitext(info["file_name"])[0] + ".npy"),
-            mask,
+        out_fp = os.path.join(
+            out_dp, os.path.splitext(info["file_name"])[0] + ".npy"
         )
+        # roboflow/COCO exports may namespace file_name with a subdirectory
+        os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+        np.save(out_fp, mask)
 
 
 def _cli_corrupt(cls_dp: str, out_dp: str, seed: int = 0):

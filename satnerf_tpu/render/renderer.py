@@ -354,14 +354,17 @@ def render_image_chunked(
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
         res = fn(params, r, e)
-        # hierarchical sampling nests the coarse pass as a dict; flatten it
-        # to "<k>_coarse" keys (the reference's suffix convention,
-        # framework/components/rendering.py:119-174) so eval consumers can
-        # report both passes when n_importance > 0
+        # hierarchical sampling nests the coarse pass as a dict; surface the
+        # per-ray outputs eval consumers read as "<k>_coarse" keys (the
+        # reference's suffix convention, rendering.py:119-174). Only the
+        # composited per-RAY arrays are kept — hauling the coarse per-sample
+        # tensors (weights/sigmas/albedo/...) to host would roughly double
+        # eval transfer over the remote tunnel for data nothing consumes.
         coarse = res.pop("coarse", None)
         if coarse is not None:
-            for k, v in coarse.items():
-                res[f"{k}_coarse"] = v
+            for k in ("rgb", "depth"):
+                if k in coarse:
+                    res[f"{k}_coarse"] = coarse[k]
         res = jax.tree.map(np.asarray, res)
         if pad:
             res = jax.tree.map(lambda x: x[: chunk - pad], res)

@@ -59,7 +59,7 @@ class TraceCapture:
         self._done = False
         self._covered_first: int | None = None
         self._covered_last: int | None = None
-        self._block: int = 1
+        self._blocks: set[int] = set()
 
     def step(self, step: int, block: int = 1) -> None:
         """Called once per dispatch covering steps [step, step+block).
@@ -83,9 +83,9 @@ class TraceCapture:
             jax.profiler.start_trace(self.dir)
             self._active = True
             self._covered_first = step
-            self._block = block
         if self._active:
             self._covered_last = step + block - 1
+            self._blocks.add(block)
 
     def _write_window(self) -> None:
         import json
@@ -96,7 +96,10 @@ class TraceCapture:
                 {
                     "first_step": self._covered_first,
                     "last_step": self._covered_last,
-                    "steps_per_dispatch": self._block,
+                    # all distinct dispatch sizes observed in the window
+                    # (blocks shrink to 1 near log/epoch/drop boundaries)
+                    "steps_per_dispatch": max(self._blocks or {1}),
+                    "block_sizes": sorted(self._blocks),
                 },
                 f,
             )

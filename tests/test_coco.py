@@ -179,3 +179,18 @@ class TestCocoToMasks:
         assert len(coco.imgs) == 2
         assert coco.category_name(11) == "cars"
         assert len(coco.image_anns(1)) == 2
+
+    def test_namespaced_file_name(self, tmp_path):
+        """roboflow exports may namespace file_name with a subdirectory."""
+        jfp = str(tmp_path / "ann.json")
+        d = {
+            "images": [{"id": 1, "file_name": "images/sub/JAX_X_RGB.jpg",
+                        "height": 4, "width": 4}],
+            "categories": [{"id": 1, "name": "buildings"}],
+            "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                             "segmentation": [[0, 0, 3, 0, 3, 3, 0, 3]]}],
+        }
+        json.dump(d, open(jfp, "w"))
+        out = str(tmp_path / "masks")
+        coco_to_masks(jfp, out)
+        assert os.path.isfile(os.path.join(out, "images/sub/JAX_X_RGB.npy"))

@@ -115,7 +115,9 @@ def test_fine_network_full_image_eval():
     assert out["weights"].shape == (37, 16)
     assert "coarse" not in out
     assert out["rgb_coarse"].shape == (37, 3)
-    assert out["weights_coarse"].shape == (37, 8)
+    assert out["depth_coarse"].shape == (37,)
+    # per-sample coarse tensors are NOT hauled to host (eval reads per-ray)
+    assert "weights_coarse" not in out
     # the flattened coarse outputs match an unchunked render with the same
     # deterministic (key=None) sampling
     ref = render_rays(params, rcfg, rays, extras, key=None)

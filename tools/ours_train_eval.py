@@ -77,9 +77,11 @@ def main(argv=None):
     train_seconds = time.time() - t0
 
     results = evaluate_ours(args, pipeline, state)
-    results["train_seconds"] = train_seconds
+    # wall-clock including the remote first compile (~1-2 min on this
+    # tunnel); NOT a throughput measurement — bench.py owns those
+    results["train_wall_seconds_incl_compile"] = train_seconds
     results["steps"] = args.steps
-    results["it_per_s"] = args.steps / train_seconds
+    results["it_per_s_wall"] = args.steps / train_seconds
     with open(os.path.join(args.out_dp, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({k: v for k, v in results.items() if k != "history"},
