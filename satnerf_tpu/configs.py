@@ -110,7 +110,9 @@ class NeRFConfig(BaseModel):
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
     # end-to-end on TPU); "exact": XLA's sin (see ops/fastmath.py)
     sin_impl: str = "poly"
-    # "xla" or "pallas" (fused VMEM-resident trunk kernel on TPU)
+    # "xla", "pallas" (fused VMEM-resident trunk kernel on TPU), or "auto"
+    # (pick the measured-best engine from dtype + per-dispatch batch size,
+    # see train/step.py:resolve_trunk_impl)
     trunk_impl: str = "xla"
     mapping_pos_n_freq: int = 10
     mapping_dir_n_freq: int = 4

@@ -264,6 +264,30 @@ def build_train_step(scfg: StepConfig, optimizer: optax.GradientTransformation):
     return train_step
 
 
+def resolve_trunk_impl(p) -> str:
+    """Resolve ``trunk_impl="auto"`` to the measured-best field engine.
+
+    The two engines sit on opposite ends of a memory/compute trade
+    (docs/performance.md "Round 2" section, measured on a v5e at the
+    flagship config): XLA's stored-activation backward wins at bf16 while
+    one dispatch's activations fit in HBM (~8192 rays x 64 samples); the
+    fused Pallas kernel's recompute backward (one (N, feat) residual
+    instead of every layer's activations) wins at f32 and at any larger
+    per-dispatch point count. Ineligible configs (non-SIREN trunk,
+    feat % 128 != 0, ...) fall back to the XLA path inside the model
+    regardless of what this returns.
+    """
+    impl = getattr(p, "trunk_impl", "xla")
+    if impl != "auto":
+        return impl
+    if getattr(p, "compute_dtype", "float32") != "bfloat16":
+        return "pallas"
+    rays = p.batch_size // max(getattr(p, "grad_accum", 1), 1)
+    if rays * p.n_samples > 8192 * 64:
+        return "pallas"
+    return "xla"
+
+
 def step_config_from_main(
     cfg,
     steps_per_epoch: int,
@@ -288,7 +312,7 @@ def step_config_from_main(
         skips=tuple(p.fc_skips),
         siren=p.activation_function == "siren",
         sin_impl=getattr(p, "sin_impl", "poly"),
-        trunk_impl=getattr(p, "trunk_impl", "xla"),
+        trunk_impl=resolve_trunk_impl(p),
         mapping=p.use_mapping,
         mapping_pos_n_freq=p.mapping_pos_n_freq,
         mapping_dir_n_freq=p.mapping_dir_n_freq,

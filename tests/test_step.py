@@ -168,3 +168,33 @@ def test_grad_accum_with_depth_and_semantic():
     state, metrics = step(state, _batch(depth=True), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert "coarse_ds" in metrics
+
+
+def test_trunk_impl_auto_resolves_measured_engine_trade():
+    """"auto" picks the engine per docs/performance.md: XLA at bf16 while a
+    dispatch's activations fit (<= 8192x64 points), Pallas at f32 or at
+    larger per-dispatch batches; grad_accum shrinks the dispatch."""
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.train.step import resolve_trunk_impl, step_config_from_main
+
+    def pipe(**over):
+        kw = dict(
+            trunk_impl="auto", n_samples=64, batch_size=8192,
+            compute_dtype="bfloat16",
+        )
+        kw.update(over)
+        return RSSemanticConfig(**kw)
+
+    assert resolve_trunk_impl(pipe()) == "xla"
+    assert resolve_trunk_impl(pipe(compute_dtype="float32")) == "pallas"
+    assert resolve_trunk_impl(pipe(batch_size=16384)) == "pallas"
+    assert resolve_trunk_impl(pipe(batch_size=16384, grad_accum=2)) == "xla"
+    assert resolve_trunk_impl(pipe(n_samples=128)) == "pallas"
+    # explicit settings pass through untouched
+    assert resolve_trunk_impl(pipe(trunk_impl="pallas")) == "pallas"
+    assert resolve_trunk_impl(pipe(trunk_impl="xla", compute_dtype="float32")) == "xla"
+
+    # the resolved engine lands in the jit-static FieldConfig
+    cfg = MainConfig(RunConfig(dataset_name="X"), pipe(batch_size=32768))
+    scfg = step_config_from_main(cfg, steps_per_epoch=4)
+    assert scfg.render.field.trunk_impl == "pallas"
