@@ -28,6 +28,34 @@ from satnerf_tpu.render.renderer import render_image_chunked
 from satnerf_tpu.viz.colormaps import apply_colormap
 
 
+def build_view_rays(dataset, meta: dict, sun_elevation: float | None = None,
+                    sun_azimuth: float | None = None, ts: int = 0):
+    """Build normalized rays + extras for an arbitrary RPC view meta.
+
+    Returns (rays, extras, w, h, sun_elevation, sun_azimuth) — the inputs
+    ``render_image_chunked`` needs for a full-image render of the view.
+    """
+    w, h = int(meta["width"]), int(meta["height"])
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    rays = build_rays_from_rpc(
+        construct_rpc_camera_model(meta),
+        dataset.coordinate_system,
+        rows=rows,
+        cols=cols,
+        min_alt=float(meta["min_alt"]),
+        max_alt=float(meta["max_alt"]),
+    )
+    rays = dataset.normalization.normalize_rays(rays)
+
+    el = sun_elevation if sun_elevation is not None else float(meta["sun_elevation"])
+    az = sun_azimuth if sun_azimuth is not None else float(meta["sun_azimuth"])
+    sun_dirs = construct_sun_dir(el, az, rays.shape[0])
+    extras = np.concatenate(
+        [sun_dirs, np.full((rays.shape[0], 1), float(ts), np.float32)], axis=1
+    )
+    return rays, extras, w, h, el, az
+
+
 def render_view(
     input_dp: str,
     meta_fp: str,
@@ -48,24 +76,8 @@ def render_view(
         # allow bare view names from the dataset ("SYN_001_002_RGB")
         meta_fp = os.path.join(dataset.meta_dp, meta_fp + ".json")
     meta = read_json(meta_fp)
-
-    w, h = int(meta["width"]), int(meta["height"])
-    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
-    rays = build_rays_from_rpc(
-        construct_rpc_camera_model(meta),
-        dataset.coordinate_system,
-        rows=rows,
-        cols=cols,
-        min_alt=float(meta["min_alt"]),
-        max_alt=float(meta["max_alt"]),
-    )
-    rays = dataset.normalization.normalize_rays(rays)
-
-    el = sun_elevation if sun_elevation is not None else float(meta["sun_elevation"])
-    az = sun_azimuth if sun_azimuth is not None else float(meta["sun_azimuth"])
-    sun_dirs = construct_sun_dir(el, az, rays.shape[0])
-    extras = np.concatenate(
-        [sun_dirs, np.full((rays.shape[0], 1), float(ts), np.float32)], axis=1
+    rays, extras, w, h, el, az = build_view_rays(
+        dataset, meta, sun_elevation, sun_azimuth, ts
     )
 
     res = render_image_chunked(params, rcfg, rays, extras, chunk=chunk)
