@@ -129,3 +129,65 @@ def params_from_lightning_ckpt(
                 )
             params[dst] = table
     return params
+
+
+# -- export (the reverse direction) -----------------------------------------
+
+_INV_HEAD_MAP = {v: k for k, v in _HEAD_MAP.items()}
+
+
+def torch_state_from_field_params(field: dict, prefix: str) -> dict:
+    """One field param pytree -> reference state-dict entries under
+    ``<prefix>.`` (exact inverse of ``field_params_from_torch_state``)."""
+    import torch
+
+    state: dict = {}
+
+    def put(base: str, entry: dict) -> None:
+        w = np.ascontiguousarray(np.asarray(entry["w"], np.float32).T)
+        b = np.ascontiguousarray(np.asarray(entry["b"], np.float32))
+        state[f"{prefix}.{base}.weight"] = torch.from_numpy(w)
+        state[f"{prefix}.{base}.bias"] = torch.from_numpy(b)
+
+    for i, layer in enumerate(field["trunk"]):
+        put(f"fc_net.{2 * i}", layer)
+    for name, value in field.items():
+        if name == "trunk":
+            continue
+        if isinstance(value, (list, tuple)):
+            for sub, entry in enumerate(value):
+                put(_INV_HEAD_MAP[(name, sub)], entry)
+        else:
+            put(_INV_HEAD_MAP[(name, None)], value)
+    return state
+
+
+def save_lightning_ckpt(
+    params: dict, ckpt_fp: str, epoch: int = 0, global_step: int = 0
+) -> str:
+    """Write our param dict as a reference-compatible Lightning checkpoint.
+
+    The inverse migration path: models trained (or fine-tuned) here load
+    straight into the reference's torch pipelines via its own
+    ``load_ckpoint`` machinery (ref: framework/util/load_ckpoint.py:60-129
+    ``model_<key>.<param>`` scheme). Round-trip is exact
+    (tests/test_import_torch.py).
+    """
+    import torch
+
+    state: dict = {}
+    for model_key, field_key in (("model_coarse", "field"), ("model_fine", "fine")):
+        if field_key in params:
+            state.update(
+                torch_state_from_field_params(params[field_key], model_key)
+            )
+    for src in ("t", "t_s"):
+        if src in params:
+            state[f"model_{src}.weight"] = torch.from_numpy(
+                np.ascontiguousarray(np.asarray(params[src], np.float32))
+            )
+    torch.save(
+        {"state_dict": state, "epoch": epoch, "global_step": global_step},
+        ckpt_fp,
+    )
+    return ckpt_fp
