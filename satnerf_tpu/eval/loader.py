@@ -22,6 +22,14 @@ def load_run(run_dp: str, epoch: int | None = None, load_datasets: bool = True):
     cfgs = load_configs_from_logs(run_dp)
     cfgs = adapt_configs_for_inference(cfgs)
 
+    # Evaluate at the run's configured matmul precision (the training CLI
+    # applies it at start; offline consumers must match or rendered metrics
+    # shift slightly — same issue as the resume-path fix in
+    # run/resume_training.py).
+    from satnerf_tpu.run.training import _apply_matmul_precision
+
+    _apply_matmul_precision(cfgs.run.matmul_precision)
+
     ckpt_path = find_ckpoint_fp(run_dp, epoch if (epoch or 0) > 0 else None)
     restored = ocp.PyTreeCheckpointer().restore(ckpt_path)
     params = restored["params"]

@@ -19,6 +19,14 @@ def resume(run_dp: str):
     cfgs = load_configs_from_logs(run_dp)
     cfgs.run.resume_from_ckpoint = True
     logger.info("Resume", f"resuming run {run_dp}")
+    # Re-apply the run's matmul precision: without this, resumed sessions
+    # train/validate at JAX's default precision instead of the configured
+    # one — caught by the 30k-step interrupted-vs-uninterrupted comparison
+    # (validation PSNR shifted 0.02 dB across the resume boundary with
+    # frozen params; docs/validation_run.md).
+    from satnerf_tpu.run.training import _apply_matmul_precision
+
+    _apply_matmul_precision(cfgs.run.matmul_precision)
     pipeline = load_pipeline(cfgs)
     pipeline.load_datasets()
     trainer = Trainer(pipeline)

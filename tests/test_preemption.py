@@ -154,3 +154,50 @@ def test_resume_trajectory_matches_uninterrupted(tmp_path):
         np.asarray(flat_a), np.asarray(flat_b), atol=1e-6,
         err_msg="resumed trajectory diverged from the uninterrupted run",
     )
+
+
+def test_resume_reapplies_matmul_precision(tmp_path):
+    """Resumed sessions and offline eval must run at the run's configured
+    matmul precision (regression: the 30k-run interrupted-vs-uninterrupted
+    comparison showed a 0.02 dB validation shift across a resume boundary
+    because only the fresh-start CLI applied it)."""
+    import jax
+
+    from satnerf_tpu.run.resume_training import resume
+
+    generate_scene(
+        str(tmp_path / "ds" / "SYN_PRE"), n_train=2, n_test=1, img_size=32,
+        n_tie_points=60,
+    )
+    run = RunConfig(
+        dataset_name="SYN_PRE", datasets_dp=str(tmp_path / "ds"),
+        cache_dp=str(tmp_path / "cache"), workspace_dp=str(tmp_path / "train"),
+        max_train_steps=4, num_sanity_val_steps=0,
+        matmul_precision="highest",
+    )
+    pipe = SatNeRFConfig(
+        n_samples=4, fc_layers=2, fc_units=32, fc_skips=[1], batch_size=128,
+        depth_enabled=False, render_chunk_size=2048,
+    )
+    cfg = MainConfig(run, pipe)
+    pipeline = load_pipeline(cfg)
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+    state = Trainer(pipeline, log_every=1000).fit(validate_every_epoch=False)
+    from satnerf_tpu.train.checkpoint import CheckpointManager
+
+    CheckpointManager(cfg.run.run_dp).save_last(state)
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update("jax_default_matmul_precision", "default")
+        resume(cfg.run.run_dp)  # already at max steps: applies cfg + exits
+        assert str(jax.config.jax_default_matmul_precision) == "highest"
+
+        jax.config.update("jax_default_matmul_precision", "default")
+        from satnerf_tpu.eval.loader import load_run
+
+        load_run(cfg.run.run_dp, load_datasets=False)
+        assert str(jax.config.jax_default_matmul_precision) == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
