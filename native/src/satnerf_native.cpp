@@ -158,4 +158,83 @@ void sn_rasterize_mean(const double* cloud, int64_t n, double xoff, double yoff,
   }
 }
 
+// TIFF LZW decode (MSB-first bit order, "early change" code-width bump —
+// the variant GDAL/libtiff write). Dictionary entries are stored as
+// (prefix chain, suffix byte, length) so decoding is allocation-free; each
+// emitted string is written back-to-front directly into `out`.
+// Returns bytes written, -1 if `out` (capacity `cap`) is too small,
+// -2 on a corrupt code stream.
+int64_t sn_lzw_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                      int64_t cap) {
+  enum { CLEAR = 256, EOI = 257, MAXCODES = 4096 };
+  static thread_local int prefix[MAXCODES];
+  static thread_local uint8_t suffix[MAXCODES];
+  static thread_local uint8_t first[MAXCODES];  // first byte of each entry
+  static thread_local int32_t length[MAXCODES];
+  for (int i = 0; i < 256; ++i) {
+    prefix[i] = -1;
+    suffix[i] = (uint8_t)i;
+    first[i] = (uint8_t)i;
+    length[i] = 1;
+  }
+  int next = 258;   // first free code
+  int bits = 9;
+  int prev = -1;
+  uint32_t acc = 0;
+  int nbits = 0;
+  int64_t pos = 0;
+
+  auto emit = [&](int code) -> bool {  // write table[code] at pos
+    const int32_t len = length[code];
+    if (pos + len > cap) return false;
+    int64_t p = pos + len;
+    for (int c = code; c >= 0; c = prefix[c]) out[--p] = suffix[c];
+    pos += len;
+    return true;
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    acc = (acc << 8) | in[i];
+    nbits += 8;
+    while (nbits >= bits) {
+      const int code = (int)((acc >> (nbits - bits)) & ((1u << bits) - 1));
+      nbits -= bits;
+      if (code == CLEAR) {
+        next = 258;
+        bits = 9;
+        prev = -1;
+        continue;
+      }
+      if (code == EOI) return pos;
+      if (prev < 0) {
+        if (code >= 256) return -2;
+        if (!emit(code)) return -1;
+      } else if (code < next) {
+        if (next < MAXCODES) {
+          prefix[next] = prev;
+          suffix[next] = first[code];  // new entry = prev + first(table[code])
+          first[next] = first[prev];
+          length[next] = length[prev] + 1;
+          ++next;
+        }
+        if (!emit(code)) return -1;
+      } else if (code == next && next < MAXCODES) {
+        // KwKwK case: entry = prev + first byte of prev
+        prefix[next] = prev;
+        suffix[next] = first[prev];
+        first[next] = first[prev];
+        length[next] = length[prev] + 1;
+        ++next;
+        if (!emit(code)) return -1;
+      } else {
+        return -2;
+      }
+      prev = code;
+      // early change: widen one code before the table is actually full
+      if (next >= (1 << bits) - 1 && bits < 12) ++bits;
+    }
+  }
+  return pos;  // no EOI marker; return what we have (libtiff tolerates this)
+}
+
 }  // extern "C"

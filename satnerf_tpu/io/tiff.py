@@ -266,12 +266,12 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
         (32, 3): np.float32, (64, 3): np.float64,
     }[(bits, sample_format)]
 
-    def _decode(off, cnt):
+    def _decode(off, cnt, expected=0):
         raw = buf[int(off) : int(off) + int(cnt)]
         if compression == 8 or compression == 32946:
             raw = zlib.decompress(raw)
         elif compression == 5:
-            raw = _lzw_decode(raw)
+            raw = _lzw_decode(raw, expected)
         elif compression != 1:
             raise NotImplementedError(f"{fp}: compression {compression}")
         return raw
@@ -293,9 +293,10 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
         arr = np.zeros((h, w, count), dtype)
         for ty in range(tiles_y):
             for tx in range(tiles_x):
-                raw = _decode(*[
-                    offsets[ty * tiles_x + tx], counts[ty * tiles_x + tx]
-                ])
+                raw = _decode(
+                    offsets[ty * tiles_x + tx], counts[ty * tiles_x + tx],
+                    expected=tl * tw * count * (bits // 8),
+                )
                 tile = np.frombuffer(raw, dtype=np_dt)[: tl * tw * count]
                 assert tile.size == tl * tw * count, (
                     f"{fp}: tile ({ty},{tx}) decoded to {tile.size} samples, "
@@ -310,7 +311,12 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
     else:
         offsets = tags[T_STRIP_OFFSETS]
         counts = tags[T_STRIP_COUNTS]
-        data = b"".join(_decode(o, c) for o, c in zip(offsets, counts))
+        rows_per_strip = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
+        strip_bytes = rows_per_strip * w * count * (bits // 8)
+        data = b"".join(
+            _decode(o, c, expected=strip_bytes)
+            for o, c in zip(offsets, counts)
+        )
         arr = np.frombuffer(data, dtype=np_dt)
         arr = arr[: h * w * count].reshape(h, w, count)
         if predictor == 2:  # horizontal differencing (strips span full rows)
@@ -351,8 +357,36 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
     return arr, profile
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """TIFF LZW (MSB-first, early-change) decoder for reading GDAL files."""
+def _lzw_decode(data: bytes, expected: int = 0) -> bytes:
+    """TIFF LZW (MSB-first, early-change) decoder for reading GDAL files.
+
+    Hot path runs in C++ (native/src/satnerf_native.cpp:sn_lzw_decode,
+    ~100x the per-byte Python loop below, which remains the fallback for
+    environments without the toolchain). ``expected`` is the decompressed
+    size when the caller knows it (tile/strip geometry); used to size the
+    native output buffer exactly.
+    """
+    from satnerf_tpu.ops import native
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "sn_lzw_decode"):
+        cap = expected if expected > 0 else max(4 * len(data), 1 << 16)
+        src = np.frombuffer(data, dtype=np.uint8)
+        while True:
+            out = np.empty(cap, dtype=np.uint8)
+            n = lib.sn_lzw_decode(
+                native.as_u8_ptr(src), len(data), native.as_u8_ptr(out), cap
+            )
+            if n >= 0:
+                return out[:n].tobytes()
+            if n == -1:  # capacity too small (padded edge strips, etc.)
+                cap *= 2
+                continue
+            break  # -2 corrupt stream: fall through to the python decoder
+    return _lzw_decode_py(data)
+
+
+def _lzw_decode_py(data: bytes) -> bytes:
     CLEAR, EOI = 256, 257
     result = bytearray()
     table: list[bytes] = []

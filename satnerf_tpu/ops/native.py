@@ -64,6 +64,10 @@ def get_lib():
         dp, i64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         i64, i64, ctypes.c_int, dp, dp,
     ]
+    if hasattr(lib, "sn_lzw_decode"):  # absent in pre-LZW cached builds
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sn_lzw_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.sn_lzw_decode.restype = i64
     _lib = lib
     return _lib
 
@@ -74,3 +78,7 @@ def as_double_ptr(a: np.ndarray):
 
 def as_int_ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def as_u8_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

@@ -182,3 +182,92 @@ def test_tiled_tiff_read(tmp_path, dtype, compress):
     got, profile = read_geotiff(str(fp))
     assert profile.width == 29 and profile.height == 37
     np.testing.assert_array_equal(got[0], arr)
+
+
+class TestNativeLZW:
+    """C++ LZW decoder (sn_lzw_decode) vs the pure-python fallback."""
+
+    @staticmethod
+    def _lzw_encode(data: bytes) -> bytes:
+        """Minimal TIFF-LZW encoder (MSB-first, early change) for fixtures."""
+        out = bytearray()
+        acc = 0
+        nbits = 0
+        bits = 9
+
+        def put(code):
+            nonlocal acc, nbits
+            acc = (acc << bits) | code
+            nbits += bits
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        put(256)  # CLEAR
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            put(table[w])
+            table[wc] = nxt
+            nxt += 1
+            # early change: the encoder runs one entry ahead of the decoder
+            # (which appends lazily), so it widens when nxt hits 1<<bits —
+            # the same code index where the decoder's table reaches
+            # (1<<bits)-1 and IT widens
+            if nxt >= (1 << bits) and bits < 12:
+                bits += 1
+            if nxt >= 4094:
+                put(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                bits = 9
+            w = bytes([ch])
+        if w:
+            put(table[w])
+        put(257)  # EOI
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def _roundtrip(self, payload: bytes):
+        from satnerf_tpu.io.tiff import _lzw_decode, _lzw_decode_py
+        from satnerf_tpu.ops import native
+
+        stream = self._lzw_encode(payload)
+        assert _lzw_decode_py(stream) == payload
+        if native.get_lib() is not None:
+            assert _lzw_decode(stream, len(payload)) == payload
+            assert _lzw_decode(stream, 0) == payload  # no size hint path
+
+    def test_random_bytes(self):
+        rng = np.random.default_rng(0)
+        self._roundtrip(rng.integers(0, 256, 5000, dtype=np.uint8).tobytes())
+
+    def test_repetitive_kwkwk(self):
+        # long runs exercise the KwKwK code path and table growth
+        self._roundtrip(b"abababab" * 600 + b"\x00" * 3000 + b"xyz" * 1000)
+
+    def test_large_blob_matches_python(self):
+        rng = np.random.default_rng(1)
+        # compressible structured data big enough to cross several width
+        # bumps and a table reset
+        payload = np.repeat(
+            rng.integers(0, 64, 30000, dtype=np.uint8), 3
+        ).tobytes()
+        self._roundtrip(payload)
+
+    def test_lzw_geotiff_roundtrip_via_pil(self, tmp_path):
+        PIL = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 255, (75, 60), dtype=np.uint8)
+        fp = str(tmp_path / "lzw.tif")
+        PIL.fromarray(arr).save(fp, compression="tiff_lzw")
+        from satnerf_tpu.io.tiff import read_geotiff
+
+        out, _ = read_geotiff(fp)
+        np.testing.assert_array_equal(out[0], arr)
