@@ -108,7 +108,8 @@ class NeRFConfig(BaseModel):
     fc_skips: list[int] = [4]
     activation_function: str = "siren"
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
-    # end-to-end on TPU); "exact": XLA's sin (see ops/fastmath.py)
+    # end-to-end on TPU); "poly5": degree-5 kernel (~1.5e-4 abs err, two
+    # fmas cheaper — for bf16 runs); "exact": XLA's sin (see ops/fastmath.py)
     sin_impl: str = "poly"
     # "xla", "pallas" (fused VMEM-resident trunk kernel on TPU), or "auto"
     # (pick the measured-best engine from dtype + per-dispatch batch size,

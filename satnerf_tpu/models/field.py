@@ -56,7 +56,9 @@ class FieldConfig:
     skips: tuple = (4,)
     siren: bool = True
     # SIREN sine implementation: "poly" (fast_sin minimax polynomial,
-    # ~2e-6 abs error, ~2x faster end-to-end on TPU) or "exact" (XLA sin).
+    # ~2e-6 abs error, ~2x faster end-to-end on TPU), "poly5" (degree-5
+    # kernel, ~1.5e-4 abs err — for bf16, which rounds coarser than that
+    # anyway), or "exact" (XLA sin).
     sin_impl: str = "poly"
     # trunk execution: "xla" (layer-by-layer jnp ops) or "pallas" (fused
     # VMEM-resident kernel, ops/pallas/trunk.py; SIREN-only, feat % 128 == 0)
@@ -82,7 +84,7 @@ class FieldConfig:
 
     def __post_init__(self):
         assert self.variant in VARIANTS, f"unknown variant {self.variant}"
-        assert self.sin_impl in ("poly", "exact"), self.sin_impl
+        assert self.sin_impl in ("poly", "poly5", "exact"), self.sin_impl
         assert self.trunk_impl in ("xla", "pallas"), self.trunk_impl
 
     # -- capability flags --------------------------------------------------
@@ -254,13 +256,14 @@ def _act(cfg: FieldConfig, x, first: bool = False):
         # sin args are phase-sensitive: evaluate in f32 even when the GEMMs
         # run in bfloat16, then return to the compute dtype
         w0 = 30.0 if first else 1.0
-        if cfg.sin_impl == "poly":
+        if cfg.sin_impl in ("poly", "poly5"):
             # XLA's exact sin dominates the whole train step on TPU (VPU
             # range reduction); the ~2e-6-accurate polynomial is ~2x
             # end-to-end (see ops/fastmath.py and docs/performance.md)
-            from satnerf_tpu.ops.fastmath import fast_sin
+            from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
 
-            return fast_sin(w0 * x.astype(jnp.float32)).astype(x.dtype)
+            f = fast_sin5 if cfg.sin_impl == "poly5" else fast_sin
+            return f(w0 * x.astype(jnp.float32)).astype(x.dtype)
         y = jnp.sin(w0 * x.astype(jnp.float32))
         return y.astype(x.dtype)
     return jax.nn.relu(x)

@@ -12,7 +12,8 @@ this approximation at batch 8192, identical loss trajectory to 4 decimals).
 - Cody-Waite two-term range reduction to [-pi, pi] (exact for the argument
   magnitudes a SIREN trunk produces, |x| <~ 1e3),
 - quadrant fold to [-pi/2, pi/2],
-- odd minimax polynomial of degree 9 in the reduced argument.
+- odd minimax polynomial (degree 7; degree 5 in :func:`fast_sin5`) in the
+  reduced argument.
 
 Max absolute error ~2e-6 over [-100, 100] (see tests/test_fastmath.py),
 two orders of magnitude inside the 1e-4 golden-parity tolerance used
@@ -44,6 +45,19 @@ _S2 = 8.305977379154e-03
 _S3 = -1.831411277453e-04
 
 
+# Degree-5 variant for the bf16 path: minimax (IRLS-fitted) over the fold,
+# max abs error 1.1e-4 — 30x bf16's own rounding step (~4e-3) below it, so
+# on bf16 activations the extra error is invisible. One Horner step and one
+# reduction fma cheaper than the degree-7 kernel.
+_Q1 = -1.660786383418e-01
+_Q2 = 7.633781238515e-03
+
+# Single-float 2*pi for the one-term reduction used by fast_sin5: the
+# rounding error is |n| * 2.4e-7, i.e. <= 4e-5 for the |x| <= ~1e3 SIREN
+# pre-activation range — inside the poly5 error budget.
+_PI2_F32 = np.float32(2.0 * np.pi)
+
+
 def fast_sin(x):
     """sin(x) to ~2e-6 abs error for |x| <= ~1e3, ~4x cheaper than XLA's
     sin on the TPU VPU. Computes in the input dtype's promotion with f32
@@ -60,4 +74,20 @@ def fast_sin(x):
     p = _S3
     p = p * r2 + _S2
     p = p * r2 + _S1
+    return (r + r * r2 * p).astype(dtype)
+
+
+def fast_sin5(x):
+    """sin(x) to ~1.5e-4 abs error for |x| <= ~1e3: one-term range
+    reduction + degree-5 minimax fold kernel. Two VPU fmas shorter than
+    :func:`fast_sin`; intended for bf16 activations, where the result is
+    rounded to ~4e-3 steps immediately anyway (``sin_impl="poly5"``)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    n = jnp.round(xf * _INV_PI2)
+    r = xf - n * _PI2_F32
+    r = jnp.where(r > _HALF_PI, np.pi - r, r)
+    r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
+    r2 = r * r
+    p = _Q2 * r2 + _Q1
     return (r + r * r2 * p).astype(dtype)

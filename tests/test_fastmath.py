@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from satnerf_tpu.ops.fastmath import fast_sin
+from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
 
 
 class TestFastSin:
@@ -59,3 +59,51 @@ class TestFastSin:
         for k in out_e:
             err = float(jnp.max(jnp.abs(out_p[k] - out_e[k])))
             assert err < 5e-5, (k, err)
+
+
+class TestFastSin5:
+    def test_accuracy_siren_range(self):
+        x = np.linspace(-50, 50, 1_000_001).astype(np.float32)
+        got = np.asarray(fast_sin5(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 1.5e-4
+
+    def test_accuracy_wide_range(self):
+        # one-term reduction: rounding error grows as |n| * 2.4e-7, still
+        # far inside the bf16 budget at |x| = 1000
+        x = np.linspace(-1000, 1000, 2_000_001).astype(np.float32)
+        got = np.asarray(fast_sin5(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 2.5e-4
+
+    def test_bfloat16_invisible_vs_poly(self):
+        # on bf16 activations poly5 must round to the same values as the
+        # degree-7 kernel almost everywhere (error 30x below bf16 eps)
+        x = jnp.linspace(-40.0, 40.0, 100_001, dtype=jnp.float32)
+        a = np.asarray(fast_sin(x).astype(jnp.bfloat16).astype(jnp.float32))
+        b = np.asarray(fast_sin5(x).astype(jnp.bfloat16).astype(jnp.float32))
+        assert np.mean(a != b) < 0.05
+        assert np.max(np.abs(a - b)) < 1e-2
+
+    def test_field_poly5_config(self):
+        from satnerf_tpu.models.field import (
+            FieldConfig,
+            field_forward,
+            init_field_params,
+        )
+
+        base = dict(variant="satnerf", layers=4, feat=128, skips=(2,),
+                    siren=True, mapping=False)
+        cfg5 = FieldConfig(sin_impl="poly5", **base)
+        cfg7 = FieldConfig(sin_impl="poly", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg5)
+        xyz = jax.random.uniform(
+            jax.random.PRNGKey(1), (256, 3), minval=-1.0, maxval=1.0
+        )
+        sun_d = jnp.tile(jnp.array([[0.3, 0.4, -0.866]]), (256, 1))
+        t_emb = jax.random.normal(jax.random.PRNGKey(2), (256, 4)) * 0.1
+        out5 = field_forward(params, cfg5, xyz, sun_d=sun_d, t_emb=t_emb)
+        out7 = field_forward(params, cfg7, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out7:
+            err = float(jnp.max(jnp.abs(out5[k] - out7[k])))
+            assert err < 5e-3, (k, err)
