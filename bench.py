@@ -64,8 +64,13 @@ BATCH_SIZE = int(os.environ.get("SATNERF_BENCH_BATCH", 8192))
 DEPTH_RAYS = 1024
 TRUNK_IMPL = os.environ.get("SATNERF_BENCH_IMPL", "xla")
 REMAT_CHUNKS = int(os.environ.get("SATNERF_BENCH_REMAT_CHUNKS", 0))
-CONFIG_DESC = f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16"
-IS_DEFAULT_CONFIG = (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS) == (8192, "xla", 0)
+SIN_IMPL = os.environ.get("SATNERF_BENCH_SIN", "poly")
+CONFIG_DESC = f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16" + (
+    "" if SIN_IMPL == "poly" else f"/{SIN_IMPL}"
+)
+IS_DEFAULT_CONFIG = (
+    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL) == (8192, "xla", 0, "poly")
+)
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
 
@@ -103,7 +108,7 @@ def main(deadline_s: float | None = None) -> None:
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
-                       n_classes=5, trunk_impl=TRUNK_IMPL)
+                       n_classes=5, trunk_impl=TRUNK_IMPL, sin_impl=SIN_IMPL)
     rcfg = RenderConfig(
         field=fcfg, n_samples=64, solar_correction=True,
         compute_dtype="bfloat16", remat_chunks=REMAT_CHUNKS,
