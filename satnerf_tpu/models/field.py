@@ -229,7 +229,7 @@ def _pallas_ok(cfg: FieldConfig) -> bool:
     return (
         cfg.trunk_impl == "pallas"
         and cfg.siren
-        and cfg.sin_impl == "poly"
+        and cfg.sin_impl in ("poly", "poly5")
         and cfg.feat % 128 == 0
         and cfg.xyz_in <= 128
     )
@@ -330,7 +330,7 @@ def field_forward(
 
         spec = TrunkSpec(
             layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-            c_in=cfg.xyz_in,
+            c_in=cfg.xyz_in, sin5=cfg.sin_impl == "poly5",
         )
         kdt = dt if dt is not None else jnp.float32
         packed = pack_trunk(params["trunk"], spec, kdt)
@@ -437,7 +437,7 @@ def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
     kdt = dt if dt is not None else jnp.float32
     tspec = TrunkSpec(
         layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-        c_in=cfg.xyz_in,
+        c_in=cfg.xyz_in, sin5=cfg.sin_impl == "poly5",
     )
     spec = FieldSpec(
         trunk=tspec, fl=cfg.feat_last, tau=cfg.t_embedding_tau,

@@ -266,6 +266,7 @@ def pack_aux(spec: FieldSpec, sun_d, t_emb, t_s_emb, dtype):
 def _heads_forward(spec: FieldSpec, shared, aux, hp):
     """Head chains from the (T, F) trunk output; returns the raw packed
     (T, LANE) f32 output. ``hp`` maps packed-weight names to arrays."""
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
     dt = shared.dtype
     bias_idx = spec.hidden_bias_index()
     b_heads = hp["b_heads"]
@@ -276,17 +277,17 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
 
     feats = (_dot(shared, hp["w_feats"]) + hp["b_feats"][0:1, :]).astype(dt)
 
-    sv = _sin_f32(
+    sv = _sin(
         _dot(feats, hp["w_sv0_f"]) + _dot(aux, hp["w_sv0_aux"]) + bias("sv0")
     ).astype(dt)
-    sv = _sin_f32(_dot(sv, hp["w_sv1"]) + bias("sv1")).astype(dt)
-    sv = _sin_f32(_dot(sv, hp["w_sv2"]) + bias("sv2")).astype(dt)
+    sv = _sin(_dot(sv, hp["w_sv1"]) + bias("sv1")).astype(dt)
+    sv = _sin(_dot(sv, hp["w_sv2"]) + bias("sv2")).astype(dt)
 
     out = _dot(shared, hp["w2_shared"])
     out = out + _dot(sv, hp["w2_sv"])
 
     if spec.heads_on:
-        hr = _sin_f32(_dot(feats, hp["w_rgb0"]) + bias("rgb0")).astype(dt)
+        hr = _sin(_dot(feats, hp["w_rgb0"]) + bias("rgb0")).astype(dt)
         out = out + _dot(hr, hp["w2_rgb"])
 
         hsky = jnp.maximum(
@@ -295,7 +296,7 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
         out = out + _dot(hsky, hp["w2_sky"])
 
         if spec.has_beta:
-            hbet = _sin_f32(
+            hbet = _sin(
                 _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"])
                 + bias("b0")
             ).astype(dt)
@@ -305,7 +306,7 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
             a_s = _dot(feats, hp["w_s0_f"]) + bias("s0")
             if spec.use_tj_for_s:
                 a_s = a_s + _dot(aux, hp["w_s0_aux"])
-            hs = _sin_f32(a_s).astype(dt)
+            hs = _sin(a_s).astype(dt)
             out = out + _dot(hs, hp["w2_sem"])
 
     return out + hp["b_small"][0:1, :]
@@ -317,16 +318,17 @@ def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
     out_ref = refs[len(keys)]
     tspec = spec.trunk
     dt = x_ref.dtype
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
     x = x_ref[:]
 
     a0 = _dot(x, tw0[:]) + tb[0:1, :].astype(jnp.float32)
-    h = _sin_f32(tspec.w0 * a0).astype(dt)
+    h = _sin(tspec.w0 * a0).astype(dt)
     for i in range(1, tspec.layers):
         a = _dot(h, twmid[i - 1])
         if i in tspec.skips:
             a = a + _dot(x, twskip[tspec.skips.index(i)])
         a = a + tb[i : i + 1, :].astype(jnp.float32)
-        h = _sin_f32(a).astype(dt)
+        h = _sin(a).astype(dt)
     if emit_shared:  # backward residual; skipped on the eval path
         refs[len(keys) + 1][:] = h
 
@@ -430,6 +432,8 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     gw = {k: r for k, r in zip(keys, refs[n_in + 2 :])}
 
     dt = shared_ref.dtype
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
+    _cos = lambda _v: _cos_f32(_v, spec.trunk.sin5)
     hp = {k: r[:] for k, r in zip(keys, head_refs)}
     bias_idx = spec.hidden_bias_index()
     b_heads = hp["b_heads"]
@@ -455,15 +459,15 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     a_sv1 = (
         _dot(feats, hp["w_sv0_f"]) + _dot(aux, hp["w_sv0_aux"]) + bias("sv0")
     )
-    sv1 = _sin_f32(a_sv1).astype(dt)
+    sv1 = _sin(a_sv1).astype(dt)
     a_sv2 = _dot(sv1, hp["w_sv1"]) + bias("sv1")
-    sv2 = _sin_f32(a_sv2).astype(dt)
+    sv2 = _sin(a_sv2).astype(dt)
     a_sv3 = _dot(sv2, hp["w_sv2"]) + bias("sv2")
-    sv3 = _sin_f32(a_sv3).astype(dt)
+    sv3 = _sin(a_sv3).astype(dt)
 
     if spec.heads_on:
         a_hr = _dot(feats, hp["w_rgb0"]) + bias("rgb0")
-        hr = _sin_f32(a_hr).astype(dt)
+        hr = _sin(a_hr).astype(dt)
 
         a_sky = _dot(aux, hp["w_sky0_aux"]) + bias("sky0")
         hsky = jnp.maximum(a_sky, 0.0).astype(dt)
@@ -473,12 +477,12 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
                 _dot(feats, hp["w_b0_f"]) + _dot(aux, hp["w_b0_aux"])
                 + bias("b0")
             )
-            hbet = _sin_f32(a_hb).astype(dt)
+            hbet = _sin(a_hb).astype(dt)
         if spec.has_semantic:
             a_hs = _dot(feats, hp["w_s0_f"]) + bias("s0")
             if spec.use_tj_for_s:
                 a_hs = a_hs + _dot(aux, hp["w_s0_aux"])
-            hs = _sin_f32(a_hs).astype(dt)
+            hs = _sin(a_hs).astype(dt)
 
     # ---- reverse sweep ------------------------------------------------------
     gb_rows: list = []
@@ -491,7 +495,7 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
         # rgb
         gw["w2_rgb"][:] += _dot_at_b(hr, g_out_dt)
         ga_hr = (
-            _dot_a_bt(g_out_dt, hp["w2_rgb"]) * _cos_f32(a_hr)
+            _dot_a_bt(g_out_dt, hp["w2_rgb"]) * _cos(a_hr)
         ).astype(dt)
         gw["w_rgb0"][:] += _dot_at_b(feats, ga_hr)
         g_feats = _dot_a_bt(ga_hr, hp["w_rgb0"])
@@ -499,11 +503,11 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
 
     # sun chain
     gw["w2_sv"][:] += _dot_at_b(sv3, g_out_dt)
-    ga3 = (_dot_a_bt(g_out_dt, hp["w2_sv"]) * _cos_f32(a_sv3)).astype(dt)
+    ga3 = (_dot_a_bt(g_out_dt, hp["w2_sv"]) * _cos(a_sv3)).astype(dt)
     gw["w_sv2"][:] += _dot_at_b(sv2, ga3)
-    ga2 = (_dot_a_bt(ga3, hp["w_sv2"]) * _cos_f32(a_sv2)).astype(dt)
+    ga2 = (_dot_a_bt(ga3, hp["w_sv2"]) * _cos(a_sv2)).astype(dt)
     gw["w_sv1"][:] += _dot_at_b(sv1, ga2)
-    ga1 = (_dot_a_bt(ga2, hp["w_sv1"]) * _cos_f32(a_sv1)).astype(dt)
+    ga1 = (_dot_a_bt(ga2, hp["w_sv1"]) * _cos(a_sv1)).astype(dt)
     gw["w_sv0_f"][:] += _dot_at_b(feats, ga1)
     gw["w_sv0_aux"][:] += _dot_at_b(aux, ga1)
     g_sv_feats = _dot_a_bt(ga1, hp["w_sv0_f"])
@@ -523,7 +527,7 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
         if spec.has_beta:
             gw["w2_beta"][:] += _dot_at_b(hbet, g_out_dt)
             ga_hb = (
-                _dot_a_bt(g_out_dt, hp["w2_beta"]) * _cos_f32(a_hb)
+                _dot_a_bt(g_out_dt, hp["w2_beta"]) * _cos(a_hb)
             ).astype(dt)
             gw["w_b0_f"][:] += _dot_at_b(feats, ga_hb)
             gw["w_b0_aux"][:] += _dot_at_b(aux, ga_hb)
@@ -534,7 +538,7 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
         if spec.has_semantic:
             gw["w2_sem"][:] += _dot_at_b(hs, g_out_dt)
             ga_hs = (
-                _dot_a_bt(g_out_dt, hp["w2_sem"]) * _cos_f32(a_hs)
+                _dot_a_bt(g_out_dt, hp["w2_sem"]) * _cos(a_hs)
             ).astype(dt)
             gw["w_s0_f"][:] += _dot_at_b(feats, ga_hs)
             g_feats = g_feats + _dot_a_bt(ga_hs, hp["w_s0_f"])

@@ -43,8 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 from satnerf_tpu.ops.fastmath import (
     _HALF_PI,
     _INV_PI2,
+    _PI2_F32,
     _PI2_HI,
     _PI2_LO,
+    _Q1,
+    _Q2,
     _S1,
     _S2,
     _S3,
@@ -62,6 +65,9 @@ class TrunkSpec:
     skips: tuple
     c_in: int  # true (unpadded) input width
     w0: float = 30.0
+    # degree-5 sine kernel (sin_impl="poly5": one-term reduction, ~1.5e-4
+    # abs err — for bf16 activations; see ops/fastmath.py:fast_sin5)
+    sin5: bool = False
 
     def __post_init__(self):
         assert self.feat % LANE == 0, "feat must be a multiple of 128"
@@ -78,33 +84,39 @@ class TrunkSpec:
 # -----------------------------------------------------------------------
 
 
-def _reduce(x):
-    """Cody-Waite range reduction to [-pi, pi] (f32)."""
+def _reduce(x, five=False):
+    """Range reduction to [-pi, pi] (f32): Cody-Waite two-term, or the
+    one-term reduction of the degree-5 variant (ops/fastmath.py)."""
     n = jnp.round(x * _INV_PI2)
+    if five:
+        return x - n * _PI2_F32
     r = x - n * _PI2_HI
     return r - n * _PI2_LO
 
 
-def _sin_poly(r):
+def _sin_poly(r, five=False):
     """Odd minimax polynomial on the [-pi/2, pi/2] fold (ops/fastmath.py)."""
     r2 = r * r
-    p = _S3
-    p = p * r2 + _S2
-    p = p * r2 + _S1
+    if five:
+        p = _Q2 * r2 + _Q1
+    else:
+        p = _S3
+        p = p * r2 + _S2
+        p = p * r2 + _S1
     return r + r * r2 * p
 
 
-def _sin_f32(x):
-    r = _reduce(x)
+def _sin_f32(x, five=False):
+    r = _reduce(x, five)
     r = jnp.where(r > _HALF_PI, np.pi - r, r)
     r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
-    return _sin_poly(r)
+    return _sin_poly(r, five)
 
 
-def _cos_f32(x):
+def _cos_f32(x, five=False):
     """cos(x) = sin(pi/2 - |r|) for r the [-pi, pi] reduction of x."""
-    r = _reduce(x)
-    return _sin_poly(_HALF_PI - jnp.abs(r))
+    r = _reduce(x, five)
+    return _sin_poly(_HALF_PI - jnp.abs(r), five)
 
 
 def _dot(a, b):
@@ -143,10 +155,10 @@ def _fwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
     dt = x_ref.dtype
     x = x_ref[:]
     a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
-    h = _sin_f32(spec.w0 * a0).astype(dt)
+    h = _sin_f32(spec.w0 * a0, spec.sin5).astype(dt)
     for i in range(1, spec.layers):
         a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
-        h = _sin_f32(a).astype(dt)
+        h = _sin_f32(a, spec.sin5).astype(dt)
     out_ref[:] = h
 
 
@@ -176,23 +188,23 @@ def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
     # ---- forward recompute, stashing pre-activations ---------------------
     a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
     acts_ref[0, :, :] = a0.astype(dt)
-    h = _sin_f32(spec.w0 * a0).astype(dt)
+    h = _sin_f32(spec.w0 * a0, spec.sin5).astype(dt)
     for i in range(1, L):
         a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
         acts_ref[i, :, :] = a.astype(dt)
-        h = _sin_f32(a).astype(dt)
+        h = _sin_f32(a, spec.sin5).astype(dt)
 
     # ---- reverse sweep ----------------------------------------------------
     g = g_ref[:].astype(jnp.float32)  # d loss / d h_{L-1}
     gx_skip = jnp.zeros((x.shape[0], LANE), jnp.float32)
     for i in range(L - 1, 0, -1):
         a = acts_ref[i, :, :].astype(jnp.float32)
-        ga = g * _cos_f32(a)  # layers >= 1 use w0 = 1
+        ga = g * _cos_f32(a, spec.sin5)  # layers >= 1 use w0 = 1
         ga_dt = ga.astype(dt)
         h_prev = (
-            _sin_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32))
+            _sin_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32), spec.sin5)
             if i == 1
-            else _sin_f32(acts_ref[i - 1, :, :].astype(jnp.float32))
+            else _sin_f32(acts_ref[i - 1, :, :].astype(jnp.float32), spec.sin5)
         ).astype(dt)
         gwmid_ref[i - 1, :, :] += _dot_at_b(h_prev, ga_dt)
         gb_ref[i : i + 1, :] += jnp.sum(ga, axis=0, keepdims=True)
@@ -203,7 +215,11 @@ def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
         g = _dot_a_bt(ga_dt, w_mid_ref[i - 1])
 
     # layer 0: h_0 = sin(w0 * a0)
-    ga0 = g * _cos_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32)) * spec.w0
+    ga0 = (
+        g
+        * _cos_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32), spec.sin5)
+        * spec.w0
+    )
     ga0_dt = ga0.astype(dt)
     gw0_ref[:] += _dot_at_b(x, ga0_dt)
     gb_ref[0:1, :] += jnp.sum(ga0, axis=0, keepdims=True)

@@ -324,3 +324,64 @@ class TestScAwareFusedField:
                   "transparency_sc", "semantic_logits"):
             err = float(jnp.max(jnp.abs(ox[k] - op[k])))
             assert err < 5e-5, (k, err)
+
+
+class TestPoly5Kernels:
+    """sin_impl="poly5" runs inside the Pallas kernels (TrunkSpec.sin5) and
+    matches the XLA poly5 path to the same tolerance as the degree-7 pair."""
+
+    def test_trunk_forward_matches_xla_poly5(self):
+        cfg_x, cfg_p = _cfg_pair(
+            layers=4, feat=256, skips=(2,), mapping=True, sin_impl="poly5"
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 384, cfg_x)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out_x:
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-4, (k, err)
+
+    def test_trunk_grads_match_xla_poly5(self):
+        cfg_x, cfg_p = _cfg_pair(
+            layers=3, feat=128, skips=(1,), mapping=True, sin_impl="poly5"
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 256, cfg_x)
+
+        def loss(cfg):
+            def f(p, x):
+                o = field_forward(p, cfg, x, sun_d=sun_d, t_emb=t_emb)
+                return sum(jnp.sum(v ** 2) for v in o.values())
+            return f
+
+        gx = jax.grad(loss(cfg_x), argnums=(0, 1))(params, xyz)
+        gp = jax.grad(loss(cfg_p), argnums=(0, 1))(params, xyz)
+        fx, _ = ravel_pytree(gx)
+        fp, _ = ravel_pytree(gp)
+        fx, fp = np.asarray(fx), np.asarray(fp)
+        cos_sim = float(fx @ fp / (np.linalg.norm(fx) * np.linalg.norm(fp)))
+        assert cos_sim > 1.0 - 1e-5
+
+    def test_fused_field_forward_matches_xla_poly5(self):
+        base = dict(
+            variant="rs_semantic", siren=True, layers=2, feat=128,
+            skips=(1,), mapping=True, n_classes=5, sin_impl="poly5",
+        )
+        cfg_x = FieldConfig(trunk_impl="xla", **base)
+        cfg_p = FieldConfig(trunk_impl="pallas", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 320, cfg_x)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        assert set(out_x) == set(out_p)
+        for k in out_x:
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-4, (k, err)
+
+    def test_sin5_specs_are_distinct_programs(self):
+        # same shapes, different sine variant -> different (hashable) specs,
+        # so the jit cache cannot alias the two programs
+        a = TrunkSpec(layers=2, feat=128, skips=(1,), c_in=63, sin5=False)
+        b = TrunkSpec(layers=2, feat=128, skips=(1,), c_in=63, sin5=True)
+        assert a != b and hash(a) != hash(b)
