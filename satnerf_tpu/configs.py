@@ -109,7 +109,8 @@ class NeRFConfig(BaseModel):
     activation_function: str = "siren"
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
     # end-to-end on TPU); "poly5": degree-5 kernel (~1.5e-4 abs err, two
-    # fmas cheaper — for bf16 runs); "exact": XLA's sin (see ops/fastmath.py)
+    # fmas cheaper — for bf16 runs); "auto": poly5 iff compute_dtype is
+    # bfloat16; "exact": XLA's sin (see ops/fastmath.py)
     sin_impl: str = "poly"
     # "xla", "pallas" (fused VMEM-resident trunk kernel on TPU), or "auto"
     # (pick the measured-best engine from dtype + per-dispatch batch size,

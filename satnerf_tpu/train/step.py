@@ -288,6 +288,24 @@ def resolve_trunk_impl(p) -> str:
     return "xla"
 
 
+def resolve_sin_impl(p) -> str:
+    """Resolve ``sin_impl="auto"`` to the best sine kernel for the dtype.
+
+    bf16 GEMMs round activations to ~4e-3 steps, so the degree-5 kernel's
+    ~1.5e-4 error is invisible there and its two-fma-shorter chain is pure
+    win (−8% step time measured at the flagship config); f32 keeps the
+    degree-7 kernel's 2e-6 accuracy (see ops/fastmath.py).
+    """
+    impl = getattr(p, "sin_impl", "poly")
+    if impl != "auto":
+        return impl
+    return (
+        "poly5"
+        if getattr(p, "compute_dtype", "float32") == "bfloat16"
+        else "poly"
+    )
+
+
 def step_config_from_main(
     cfg,
     steps_per_epoch: int,
@@ -311,7 +329,7 @@ def step_config_from_main(
         feat=p.fc_units,
         skips=tuple(p.fc_skips),
         siren=p.activation_function == "siren",
-        sin_impl=getattr(p, "sin_impl", "poly"),
+        sin_impl=resolve_sin_impl(p),
         trunk_impl=resolve_trunk_impl(p),
         mapping=p.use_mapping,
         mapping_pos_n_freq=p.mapping_pos_n_freq,

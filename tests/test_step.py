@@ -198,3 +198,24 @@ def test_trunk_impl_auto_resolves_measured_engine_trade():
     cfg = MainConfig(RunConfig(dataset_name="X"), pipe(batch_size=32768))
     scfg = step_config_from_main(cfg, steps_per_epoch=4)
     assert scfg.render.field.trunk_impl == "pallas"
+
+
+def test_sin_impl_auto_resolves_by_dtype():
+    """"auto" -> degree-5 kernel iff bf16 (its error is below bf16 rounding);
+    explicit values pass through."""
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.train.step import resolve_sin_impl, step_config_from_main
+
+    def pipe(**over):
+        kw = dict(sin_impl="auto", compute_dtype="bfloat16")
+        kw.update(over)
+        return RSSemanticConfig(**kw)
+
+    assert resolve_sin_impl(pipe()) == "poly5"
+    assert resolve_sin_impl(pipe(compute_dtype="float32")) == "poly"
+    assert resolve_sin_impl(pipe(sin_impl="poly")) == "poly"
+    assert resolve_sin_impl(pipe(sin_impl="exact")) == "exact"
+
+    cfg = MainConfig(RunConfig(dataset_name="X"), pipe())
+    scfg = step_config_from_main(cfg, steps_per_epoch=4)
+    assert scfg.render.field.sin_impl == "poly5"
