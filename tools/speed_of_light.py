@@ -65,12 +65,15 @@ def main(argv=None):
     ap.add_argument("--feat", type=int, default=512)
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--peak-tflops", type=float, default=394.0)
+    ap.add_argument("--sin", default="poly", choices=["poly", "poly5"])
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from satnerf_tpu.ops.fastmath import fast_sin
+    from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
+
+    sin_fn = fast_sin5 if args.sin == "poly5" else fast_sin
 
     dt = jnp.dtype(args.dtype)
     # per-step field points: main half + solar-correction half
@@ -100,7 +103,7 @@ def main(argv=None):
                     h = jnp.concatenate([h, x], axis=-1)
                 h = h @ w
                 if act:
-                    h = fast_sin(h)
+                    h = sin_fn(h)
             # fold the output back to the input width so the scan carries
             # a fixed shape; the extra (feat x xyz_in) GEMM is negligible
             return (h[:, :xyz_in]).astype(x.dtype), h.sum()
@@ -131,7 +134,7 @@ def main(argv=None):
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
-                       n_classes=5)
+                       n_classes=5, sin_impl=args.sin)
     rcfg = RenderConfig(field=fcfg, n_samples=args.samples,
                         solar_correction=True, compute_dtype=args.dtype)
     scfg = StepConfig(render=rcfg, steps_per_epoch=1000, sc_lambda=0.05,
