@@ -108,9 +108,10 @@ class NeRFConfig(BaseModel):
     fc_skips: list[int] = [4]
     activation_function: str = "siren"
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
-    # end-to-end on TPU); "poly5": degree-5 kernel (~1.5e-4 abs err, two
-    # fmas cheaper — for bf16 runs); "auto": poly5 iff compute_dtype is
-    # bfloat16; "exact": XLA's sin (see ops/fastmath.py)
+    # end-to-end on TPU); "poly5": degree-5 kernel (+8% step, PSNR-neutral
+    # but measured ~0.9 m DSM-MAE cost — opt-in, for PSNR-bound workloads);
+    # "auto": the quality-safe choice (= poly); "exact": XLA's sin
+    # (see ops/fastmath.py and train/step.py:resolve_sin_impl)
     sin_impl: str = "poly"
     # "xla", "pallas" (fused VMEM-resident trunk kernel on TPU), or "auto"
     # (pick the measured-best engine from dtype + per-dispatch batch size,

@@ -289,21 +289,22 @@ def resolve_trunk_impl(p) -> str:
 
 
 def resolve_sin_impl(p) -> str:
-    """Resolve ``sin_impl="auto"`` to the best sine kernel for the dtype.
+    """Resolve ``sin_impl="auto"`` to the quality-safe sine kernel.
 
-    bf16 GEMMs round activations to ~4e-3 steps, so the degree-5 kernel's
-    ~1.5e-4 error is invisible there and its two-fma-shorter chain is pure
-    win (−8% step time measured at the flagship config); f32 keeps the
-    degree-7 kernel's 2e-6 accuracy (see ops/fastmath.py).
+    "auto" resolves to the degree-7 kernel for every dtype. The degree-5
+    kernel is 8% faster end-to-end at the flagship bf16 config and
+    PSNR-neutral, but paired-seed 8000-step runs measured a consistent
+    ~0.9 m DSM-MAE cost (docs/performance.md "degree-5 sine" section):
+    its error is 30x below bf16 rounding PER ACTIVATION yet spatially
+    correlated (a smooth function of the pre-activation), and the
+    altitude/σ geometry integrates that bias where it shrugs off bf16's
+    noise. Use ``sin_impl="poly5"`` explicitly for PSNR-bound workloads
+    (e.g. pure novel-view serving) where the throughput matters more.
     """
     impl = getattr(p, "sin_impl", "poly")
-    if impl != "auto":
-        return impl
-    return (
-        "poly5"
-        if getattr(p, "compute_dtype", "float32") == "bfloat16"
-        else "poly"
-    )
+    if impl == "auto":
+        return "poly"
+    return impl
 
 
 def step_config_from_main(
