@@ -32,12 +32,13 @@ realistic MLP utilisation lands within a factor ~2 of the 10k figure, and
 the SatNeRF paper's published wall-clock corroborates it.
 
 Verified on one v5e chip (2026-08-17, honest readback timing, incl. the
-solar-correction head pruning + the round-2 minimax sine): 42.7k rays/s at
+solar-correction head pruning + the round-2 minimax sine): 42.9k rays/s at
 batch 8192 bf16 (192 ms/step), 30.5k rays/s f32 (269 ms/step), 30.5k
 rays/s at the reference batch of 1024 bf16 (33.6 ms/step, pre-pruning).
-Large-batch modes (see docs/performance.md): batch 16384 via
-SATNERF_BENCH_REMAT_CHUNKS=2 (37.1k) or SATNERF_BENCH_IMPL=pallas
-(39.2k).
+SATNERF_BENCH_SIN=poly5 (the opt-in degree-5 sine; PSNR-neutral with a
+measured DSM-MAE cost, docs/performance.md): 46.5k. Large-batch modes:
+batch 16384 via SATNERF_BENCH_REMAT_CHUNKS=2 (37.1k) or
+SATNERF_BENCH_IMPL=pallas (39.2k; 41.3k with poly5).
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ REFERENCE_RAYS_PER_SEC = 10_240.0
 # scan+readback timing, batch 8192 bf16, sc head pruning + minimax sine):
 # reported with "stale": true if the live run cannot complete (e.g. the
 # single-tenant TPU tunnel is held by another client).
-LAST_KNOWN_RAYS_PER_SEC = 42_700.0
+LAST_KNOWN_RAYS_PER_SEC = 42_924.0
 
 # Production config; overridable for large-batch / impl experiments:
 #   SATNERF_BENCH_BATCH=16384 SATNERF_BENCH_IMPL=pallas python bench.py

@@ -43,4 +43,10 @@ def load_run(run_dp: str, epoch: int | None = None, load_datasets: bool = True):
         pipeline.load_datasets()
 
     scfg = pipeline.step_config(steps_per_epoch=1, with_depth=False)
-    return pipeline, params, scfg.render, step
+    # the solar-correction ray pass exists for TRAINING loss terms only
+    # (ref: baseline/components/loss.py:13-29); no eval/viz/serve consumer
+    # reads its outputs, and dropping it renders ~1.9x faster (measured:
+    # 45.5 -> 23.9 ms per 8192-ray chunk, docs/performance.md)
+    from dataclasses import replace
+
+    return pipeline, params, replace(scfg.render, solar_correction=False), step

@@ -18,6 +18,7 @@ Structure per run:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import signal
 import time
@@ -434,7 +435,9 @@ class Trainer:
 
         pipeline = self.pipeline
         cfg = self.cfg
-        rcfg = scfg.render
+        # no validation consumer reads solar-correction outputs; dropping
+        # the sc ray pass renders validation images ~1.9x faster
+        rcfg = dataclasses.replace(scfg.render, solar_correction=False)
         rgb_test = pipeline.datasets["rgb_test"]
         # keep params device-resident: pulling them to host would re-upload
         # the full pytree on every render chunk (ruinous over a remote tunnel)

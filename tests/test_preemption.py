@@ -197,7 +197,10 @@ def test_resume_reapplies_matmul_precision(tmp_path):
         jax.config.update("jax_default_matmul_precision", "default")
         from satnerf_tpu.eval.loader import load_run
 
-        load_run(cfg.run.run_dp, load_datasets=False)
+        _, _, rcfg, _ = load_run(cfg.run.run_dp, load_datasets=False)
         assert str(jax.config.jax_default_matmul_precision) == "highest"
+        # inference rendering must not pay for the training-only
+        # solar-correction ray pass (~1.9x render time)
+        assert rcfg.solar_correction is False
     finally:
         jax.config.update("jax_default_matmul_precision", before)
