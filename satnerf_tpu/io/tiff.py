@@ -311,7 +311,9 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
     else:
         offsets = tags[T_STRIP_OFFSETS]
         counts = tags[T_STRIP_COUNTS]
-        rows_per_strip = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
+        # clamp: TIFF 6.0 allows RowsPerStrip = 2^32-1 ("one strip") — the
+        # image height bounds the real decoded size either way
+        rows_per_strip = min(int(tags.get(T_ROWS_PER_STRIP, [h])[0]), h)
         strip_bytes = rows_per_strip * w * count * (bits // 8)
         data = b"".join(
             _decode(o, c, expected=strip_bytes)

@@ -39,7 +39,10 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_FP) and not _build():
+    # always invoke make: its mtime rules make this a no-op on a fresh
+    # build, and it rebuilds stale .so files from older checkouts that
+    # would otherwise silently lack newer symbols (e.g. sn_lzw_decode)
+    if not _build() and not os.path.isfile(_LIB_FP):
         return None
     try:
         lib = ctypes.CDLL(_LIB_FP)

@@ -121,4 +121,5 @@ def main():
         print(f"{name}: {best / K * 1e3:.2f} ms per trunk fwd ({N} pts)", flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()
