@@ -1,8 +1,10 @@
 """CLI: python -m satnerf_tpu.serve <run_dp> [--host H] [--port P]
-[--chunk N] [--epoch E] [--platform cpu|tpu|...]
+[--chunk N] [--epoch E] [--platform cpu|tpu|...] [--fast-sine 1]
 
 --platform pins the JAX backend before initialisation (needed where a
-site-installed PJRT plugin overrides the JAX_PLATFORMS env var)."""
+site-installed PJRT plugin overrides the JAX_PLATFORMS env var).
+--fast-sine 1 renders with the degree-5 sine kernel (PSNR-neutral, ~6%
+faster; the documented trade for pure view serving)."""
 
 from __future__ import annotations
 
@@ -17,9 +19,12 @@ def main(argv=None):
     run_dp, kwargs = argv[0], {}
     it = iter(argv[1:])
     for flag in it:
-        key = flag.lstrip("-")
+        key = flag.lstrip("-").replace("-", "_")
         val = next(it)
-        kwargs[key] = val if key in ("host", "platform") else int(val)
+        if key == "fast_sine":
+            kwargs[key] = val not in ("0", "false", "no")
+        else:
+            kwargs[key] = val if key in ("host", "platform") else int(val)
     platform = kwargs.pop("platform", None)
     if platform:
         import jax

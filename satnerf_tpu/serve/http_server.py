@@ -121,11 +121,13 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8642):
 
 
 def serve(run_dp: str, host: str = "127.0.0.1", port: int = 8642,
-          chunk: int = 16384, epoch: int | None = None):
+          chunk: int = 16384, epoch: int | None = None,
+          fast_sine: bool = False):
     """Load the run, warm the compile, serve until interrupted."""
     from satnerf_tpu.serve.service import load_service
 
-    service = load_service(run_dp, epoch=epoch, chunk=chunk)
+    service = load_service(run_dp, epoch=epoch, chunk=chunk,
+                           fast_sine=fast_sine)
     server = make_server(service, host, port)
     logger.info(
         "Serve",

@@ -33,10 +33,18 @@ class RenderService:
     """
 
     def __init__(self, run_dp: str, epoch: int | None = None,
-                 chunk: int = 16384):
+                 chunk: int = 16384, fast_sine: bool = False):
         self.run_dp = run_dp
         self.chunk = int(chunk)
         pipeline, params, rcfg, step = load_run(run_dp, epoch)
+        if fast_sine:
+            # serving is PSNR-bound (no DSM is extracted from served
+            # views), which is exactly the workload the degree-5 sine is
+            # documented for: ~6% faster renders, PSNR-neutral
+            # (docs/performance.md "degree-5 sine" section)
+            from dataclasses import replace
+
+            rcfg = replace(rcfg, field=replace(rcfg.field, sin_impl="poly5"))
         self.pipeline = pipeline
         self.params = params
         self.rcfg = rcfg
@@ -136,8 +144,8 @@ class RenderService:
 
 
 def load_service(run_dp: str, epoch: int | None = None, chunk: int = 16384,
-                 warmup: bool = True) -> RenderService:
-    svc = RenderService(run_dp, epoch=epoch, chunk=chunk)
+                 warmup: bool = True, fast_sine: bool = False) -> RenderService:
+    svc = RenderService(run_dp, epoch=epoch, chunk=chunk, fast_sine=fast_sine)
     if warmup:
         dt = svc.warmup()
         logger.info("Serve", f"warmed up in {dt:.1f}s (compile included)")

@@ -131,3 +131,35 @@ def test_http_endpoints(endpoint, service):
     with urllib.request.urlopen(endpoint + "/stats") as resp:
         stats = json.loads(resp.read())
     assert stats["requests"] >= 2
+
+
+def test_fast_sine_service(run_dp):
+    """fast_sine=True swaps the sine kernel for serving (PSNR-bound path)
+    and renders nearly identical images."""
+    from satnerf_tpu.serve import RenderService
+
+    base = RenderService(run_dp, chunk=1024)
+    fast = RenderService(run_dp, chunk=1024, fast_sine=True)
+    assert fast.rcfg.field.sin_impl == "poly5"
+    assert base.rcfg.field.sin_impl != "poly5"
+    name = base.view_names()[0]
+    a = base.render(name)["rgb"]
+    b = fast.render(name)["rgb"]
+    assert np.max(np.abs(a - b)) < 5e-2
+    assert np.mean(np.abs(a - b)) < 2e-3
+
+
+def test_cli_flag_parsing(monkeypatch):
+    """--fast-sine 1 reaches serve() as a boolean."""
+    import satnerf_tpu.serve.__main__ as cli
+
+    seen = {}
+
+    def fake_serve(run_dp, **kw):
+        seen.update(kw, run_dp=run_dp)
+
+    monkeypatch.setattr("satnerf_tpu.serve.http_server.serve", fake_serve)
+    cli.main(["/tmp/run", "--port", "0", "--fast-sine", "1"])
+    assert seen["run_dp"] == "/tmp/run"
+    assert seen["port"] == 0
+    assert seen["fast_sine"] is True
