@@ -130,14 +130,30 @@ class RSSemanticPipeline(Pipeline):
     def _rgb_dataset_cls(self):
         return SemanticDataset
 
+    def _cls_labels(self) -> dict:
+        """Semantic class map without requiring loaded ray datasets: read
+        from the loaded rgb dataset when present, else straight from
+        root.json (e.g. ``load_run(load_datasets=False)`` for
+        export/serve consumers that never touch rays)."""
+        if self.datasets:
+            return self.datasets["rgb"].semantic_cls_labels
+        import os
+
+        from satnerf_tpu.io.json_io import read_json
+
+        root = read_json(os.path.join(self.cfg.run.dataset_dp, "root.json"))
+        return root["semantic_cls_labels"]
+
     @property
     def n_classes(self) -> int:
-        return self.datasets["rgb"].semantic_n_classes
+        return len(self._cls_labels())
 
     @property
     def car_index(self) -> int:
-        idx = self.datasets["rgb"].car_cls_idx
-        return -1 if idx is None else idx
+        for k, v in self._cls_labels().items():
+            if v == "cars":
+                return int(k)
+        return -1
 
 
 PIPELINES = {
