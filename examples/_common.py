@@ -17,6 +17,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# honor JAX_PLATFORMS even where a site-installed PJRT plugin overrides the
+# env var (tests/conftest.py uses the same double-force): the README's
+# `JAX_PLATFORMS=cpu python examples/...` must actually mean cpu
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def example_workspace() -> str:
     return os.environ.get(
