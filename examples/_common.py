@@ -32,8 +32,14 @@ def example_workspace() -> str:
     )
 
 
-def get_or_train_run(steps: int = 300) -> str:
-    """Return a trained run directory, training one if none exists."""
+def get_or_train_run(steps: int | None = None) -> str:
+    """Return a trained run directory, training one if none exists.
+
+    ``SATNERF_EXAMPLES_STEPS`` / ``SATNERF_EXAMPLES_IMG`` shrink the run
+    (used by the test suite's examples smoke test).
+    """
+    steps = steps or int(os.environ.get("SATNERF_EXAMPLES_STEPS", 300))
+    img = int(os.environ.get("SATNERF_EXAMPLES_IMG", 48))
     base = example_workspace()
     runs = sorted(glob.glob(os.path.join(base, "training", "*_rs_semantic*")))
     for run_dp in reversed(runs):
@@ -48,7 +54,7 @@ def get_or_train_run(steps: int = 300) -> str:
 
     scene_dp = os.path.join(base, "datasets", "SYN_EX")
     if not os.path.isdir(scene_dp):
-        generate_scene(scene_dp, n_train=3, n_test=1, img_size=48,
+        generate_scene(scene_dp, n_train=3, n_test=1, img_size=img,
                        n_tie_points=120)
 
     run = RunConfig(
