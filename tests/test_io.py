@@ -271,3 +271,32 @@ class TestNativeLZW:
 
         out, _ = read_geotiff(fp)
         np.testing.assert_array_equal(out[0], arr)
+
+    def test_truncated_stream_does_not_crash(self):
+        """A truncated LZW stream must fail loudly or return a short
+        result — never crash the process (native path returns what it has
+        or -2; python path raises or returns short)."""
+        from satnerf_tpu.io.tiff import _lzw_decode
+
+        rng = np.random.default_rng(3)
+        payload = np.repeat(
+            rng.integers(0, 64, 4000, dtype=np.uint8), 2
+        ).tobytes()
+        stream = self._lzw_encode(payload)
+        for cut in (1, len(stream) // 3, len(stream) - 2):
+            try:
+                out = _lzw_decode(stream[:cut], len(payload))
+            except Exception:
+                continue  # a raised error is an acceptable outcome
+            assert len(out) <= len(payload)
+            assert out == payload[: len(out)]
+
+    def test_garbage_stream_falls_back_cleanly(self):
+        """High codes before the table exists -> native returns -2 and the
+        python fallback path runs (which may raise or return garbage-free
+        prefix) without killing the process."""
+        from satnerf_tpu.io.tiff import _lzw_decode
+
+        # 0x80 0x40: first 9-bit code = 256 (CLEAR), then code 257 = EOI
+        # => valid empty stream
+        assert _lzw_decode(bytes([0x80, 0x40, 0x20]), 0) == b""
