@@ -33,9 +33,9 @@ def main():
     print(f"exported reference-format checkpoint: {out_fp}")
 
     reimported = params_from_lightning_ckpt(out_fp, rcfg.field)
-    a_leaves = jax.tree_util.tree_leaves(
-        {k: params[k] for k in reimported if k in params}
-    )
+    missing = set(params) - set(reimported)
+    assert not missing, f"param groups not covered by the export: {missing}"
+    a_leaves = jax.tree_util.tree_leaves({k: params[k] for k in reimported})
     b_leaves = jax.tree_util.tree_leaves(reimported)
     assert len(a_leaves) == len(b_leaves) and a_leaves
     for a, b in zip(a_leaves, b_leaves):

@@ -49,7 +49,6 @@ def get_or_train_run(steps: int | None = None) -> str:
     from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
     from satnerf_tpu.datasets.synthetic import generate_scene
     from satnerf_tpu.pipelines import load_pipeline
-    from satnerf_tpu.train.checkpoint import CheckpointManager
     from satnerf_tpu.train.loop import Trainer
 
     scene_dp = os.path.join(base, "datasets", "SYN_EX")
@@ -75,6 +74,5 @@ def get_or_train_run(steps: int | None = None) -> str:
     pipeline = load_pipeline(cfg)
     pipeline.prepare_run()
     pipeline.load_datasets()
-    state = Trainer(pipeline, log_every=100).fit()
-    CheckpointManager(cfg.run.run_dp).save_last(state)
+    Trainer(pipeline, log_every=100).fit()  # checkpoints "last" on finish
     return cfg.run.run_dp

@@ -133,16 +133,27 @@ class RSSemanticPipeline(Pipeline):
     def _cls_labels(self) -> dict:
         """Semantic class map without requiring loaded ray datasets: read
         from the loaded rgb dataset when present, else straight from
-        root.json (e.g. ``load_run(load_datasets=False)`` for
-        export/serve consumers that never touch rays)."""
+        root.json (cached; e.g. ``load_run(load_datasets=False)`` for
+        export/serve consumers that never touch rays — the scene's
+        root.json must still be reachable at the trained dataset_dp)."""
         if self.datasets:
             return self.datasets["rgb"].semantic_cls_labels
-        import os
-
+        cached = getattr(self, "_cls_labels_cache", None)
+        if cached is not None:
+            return cached
         from satnerf_tpu.io.json_io import read_json
 
-        root = read_json(os.path.join(self.cfg.run.dataset_dp, "root.json"))
-        return root["semantic_cls_labels"]
+        root_fp = os.path.join(self.cfg.run.dataset_dp, "root.json")
+        try:
+            root = read_json(root_fp)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"semantic class map needs the scene's root.json at "
+                f"{root_fp} (datasets not loaded and the trained "
+                f"dataset_dp is not reachable from here)"
+            ) from e
+        self._cls_labels_cache = root["semantic_cls_labels"]
+        return self._cls_labels_cache
 
     @property
     def n_classes(self) -> int:

@@ -17,14 +17,27 @@ def main(argv=None):
         print(__doc__)
         return 1
     run_dp, kwargs = argv[0], {}
-    it = iter(argv[1:])
-    for flag in it:
+    rest = argv[1:]
+    i = 0
+    while i < len(rest):
+        flag = rest[i]
+        if not flag.startswith("-"):
+            print(f"unexpected argument {flag!r}\n\n{__doc__}")
+            return 1
         key = flag.lstrip("-").replace("-", "_")
-        val = next(it)
+        has_val = i + 1 < len(rest) and not rest[i + 1].startswith("-")
         if key == "fast_sine":
-            kwargs[key] = val not in ("0", "false", "no")
-        else:
-            kwargs[key] = val if key in ("host", "platform") else int(val)
+            # value optional: bare --fast-sine means on
+            val = rest[i + 1] if has_val else "1"
+            kwargs[key] = val.lower() not in ("0", "false", "no", "off")
+            i += 2 if has_val else 1
+            continue
+        if not has_val:
+            print(f"missing value for --{key}\n\n{__doc__}")
+            return 1
+        val = rest[i + 1]
+        kwargs[key] = val if key in ("host", "platform") else int(val)
+        i += 2
     platform = kwargs.pop("platform", None)
     if platform:
         import jax

@@ -42,6 +42,12 @@ def test_01_train(example_env):
     assert "trained run:" in out
 
 
+def test_02_eval_battery(example_env):
+    out = _run("02_eval_battery.py", example_env)
+    assert "results under:" in out
+    assert "PSNR" in out  # gathered table printed
+
+
 def test_03_relight(example_env):
     out = _run("03_relight_views.py", example_env)
     assert out.count("wrote") == 3

@@ -291,12 +291,31 @@ class TestNativeLZW:
             assert len(out) <= len(payload)
             assert out == payload[: len(out)]
 
-    def test_garbage_stream_falls_back_cleanly(self):
-        """High codes before the table exists -> native returns -2 and the
-        python fallback path runs (which may raise or return garbage-free
-        prefix) without killing the process."""
+    def test_empty_stream_decodes_empty(self):
+        # 9-bit MSB codes: 256 (CLEAR) then 257 (EOI) => valid empty stream
         from satnerf_tpu.io.tiff import _lzw_decode
 
-        # 0x80 0x40: first 9-bit code = 256 (CLEAR), then code 257 = EOI
-        # => valid empty stream
-        assert _lzw_decode(bytes([0x80, 0x40, 0x20]), 0) == b""
+        assert _lzw_decode(bytes([0x80, 0x40, 0x40]), 0) == b""
+
+    def test_garbage_stream_hits_native_minus2_and_python_raises(self):
+        """A high code before any literal: the native decoder must reject
+        it with -2 (corrupt stream), and _lzw_decode's fallback to the
+        python decoder then fails loudly (IndexError) rather than
+        returning silent garbage."""
+        import pytest
+
+        from satnerf_tpu.io.tiff import _lzw_decode
+        from satnerf_tpu.ops import native
+
+        # first 9-bit code = 300 (0b100101100): invalid as an initial code
+        garbage = bytes([0b10010110, 0b00000000])
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "sn_lzw_decode"):
+            src = np.frombuffer(garbage, dtype=np.uint8)
+            out = np.empty(64, dtype=np.uint8)
+            rc = lib.sn_lzw_decode(
+                native.as_u8_ptr(src), len(garbage), native.as_u8_ptr(out), 64
+            )
+            assert rc == -2
+        with pytest.raises(IndexError):
+            _lzw_decode(garbage, 64)
