@@ -3,8 +3,10 @@
 
 --platform pins the JAX backend before initialisation (needed where a
 site-installed PJRT plugin overrides the JAX_PLATFORMS env var).
---fast-sine 1 renders with the degree-5 sine kernel (PSNR-neutral, ~6%
-faster; the documented trade for pure view serving)."""
+--fast-sine 1 renders with the degree-5 sine kernel (~6% faster;
+PSNR-neutral, so served RGB is unaffected — but served DEPTH carries the
+measured ~0.9 m poly5 altitude bias; see docs/performance.md). Leave it
+off when clients consume /render output=depth or arrays depth_f16_b64."""
 
 from __future__ import annotations
 

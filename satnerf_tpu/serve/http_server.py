@@ -87,7 +87,8 @@ def _make_handler(service):
                     req["view"],
                     sun_elevation=req.get("sun_elevation"),
                     sun_azimuth=req.get("sun_azimuth"),
-                    ts=int(req.get("ts", 0)),
+                    ts=int(req.get("ts") or 0),
+                    allow_paths=False,  # no fs probing from remote clients
                 )
                 output = req.get("output", "rgb")
                 if output == "arrays":
@@ -106,8 +107,12 @@ def _make_handler(service):
                     )
                 else:
                     self._send(200, _render_png(result, output), "image/png")
-            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as exc:
                 self._send_json({"error": str(exc)}, 400)
+            except Exception as exc:  # every request gets a response
+                logger.error("Serve", f"/render failed: {exc!r}")
+                self._send_json({"error": f"internal error: {exc}"}, 500)
 
     return Handler
 

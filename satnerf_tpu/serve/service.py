@@ -38,13 +38,21 @@ class RenderService:
         self.chunk = int(chunk)
         pipeline, params, rcfg, step = load_run(run_dp, epoch)
         if fast_sine:
-            # serving is PSNR-bound (no DSM is extracted from served
-            # views), which is exactly the workload the degree-5 sine is
-            # documented for: ~6% faster renders, PSNR-neutral
-            # (docs/performance.md "degree-5 sine" section)
+            # ~6% faster renders, PSNR-neutral — but NOT depth-neutral:
+            # poly5 carries a measured ~0.9 m DSM-MAE cost
+            # (docs/performance.md "degree-5 sine" section). Served RGB is
+            # unaffected; served depth IS degraded, so we log a warning and
+            # expose the flag in metadata() for clients to check.
             from dataclasses import replace
 
             rcfg = replace(rcfg, field=replace(rcfg.field, sin_impl="poly5"))
+            logger.warning(
+                "Serve",
+                "--fast-sine is on: RGB quality is unaffected but served "
+                "depth carries the poly5 altitude bias (~0.9 m DSM-MAE; "
+                "see docs/performance.md)",
+            )
+        self.fast_sine = bool(fast_sine)
         self.pipeline = pipeline
         self.params = params
         self.rcfg = rcfg
@@ -63,18 +71,30 @@ class RenderService:
             "n_classes": f.n_classes if f.has_semantic else 0,
             "views": self.view_names(),
             "chunk": self.chunk,
+            "fast_sine": self.fast_sine,
+            "depth_quality": "poly5_fast_sine" if self.fast_sine else "exact",
         }
 
     def view_names(self) -> list[str]:
         return [d["name"] for d in self.dataset.data]
 
-    def resolve_meta(self, view) -> dict:
-        """View name / meta path / meta dict -> meta dict."""
+    def resolve_meta(self, view, allow_paths: bool = True) -> dict:
+        """View name / meta path / meta dict -> meta dict.
+
+        ``allow_paths=False`` (used by the HTTP front-end) restricts string
+        views to plain names resolving inside the dataset's meta dir, so a
+        remote client cannot probe arbitrary filesystem JSON via view names
+        like ``"../../etc/foo"`` or absolute paths. The path and dict forms
+        stay available to the Python API.
+        """
         if isinstance(view, dict):
             return view
-        if os.path.isfile(str(view)):
+        if allow_paths and os.path.isfile(str(view)):
             return read_json(str(view))
         fp = os.path.join(self.dataset.meta_dp, str(view) + ".json")
+        meta_root = os.path.realpath(self.dataset.meta_dp)
+        if os.path.commonpath([meta_root, os.path.realpath(fp)]) != meta_root:
+            raise KeyError(f"view name {view!r} escapes the meta directory")
         if not os.path.isfile(fp):
             raise KeyError(f"unknown view {view!r} (no {fp})")
         return read_json(fp)
@@ -88,13 +108,14 @@ class RenderService:
         return time.monotonic() - t0
 
     def render(self, view, sun_elevation: float | None = None,
-               sun_azimuth: float | None = None, ts: int = 0) -> dict:
+               sun_azimuth: float | None = None, ts: int = 0,
+               allow_paths: bool = True) -> dict:
         """Render one view; returns (H, W, ...) numpy arrays.
 
         Keys: rgb (H, W, 3 in [0, 1]), depth (H, W), plus semantic_label /
         semantic_rgb / shaded semantic for semantic models.
         """
-        meta = self.resolve_meta(view)
+        meta = self.resolve_meta(view, allow_paths=allow_paths)
         rays, extras, w, h, el, az = build_view_rays(
             self.dataset, meta, sun_elevation, sun_azimuth, ts
         )

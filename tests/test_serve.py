@@ -128,6 +128,24 @@ def test_http_endpoints(endpoint, service):
     assert status == 400
     assert "NO_SUCH_VIEW" in json.loads(body)["error"]
 
+    # remote clients must not be able to probe the filesystem via view
+    # names (absolute paths or ../ traversal) — 400, never a file read
+    for evil in ("/etc/passwd", "../../../../etc/passwd", "../root"):
+        status, _, body = _post(endpoint + "/render", {"view": evil})
+        assert status == 400, (evil, body)
+
+    # malformed-but-JSON bodies get a structured 400/500, never a dropped
+    # connection ("ts": null used to raise TypeError past the handler)
+    status, _, body = _post(
+        endpoint + "/render", {"view": view, "ts": None}
+    )
+    assert status == 200  # null ts coerces to 0
+    status, _, body = _post(
+        endpoint + "/render", {"view": view, "sun_elevation": "noon"}
+    )
+    assert status in (400, 500)
+    assert "error" in json.loads(body)
+
     with urllib.request.urlopen(endpoint + "/stats") as resp:
         stats = json.loads(resp.read())
     assert stats["requests"] >= 2
