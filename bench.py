@@ -68,8 +68,8 @@ REMAT_CHUNKS = int(os.environ.get("SATNERF_BENCH_REMAT_CHUNKS", 0))
 SIN_IMPL = os.environ.get("SATNERF_BENCH_SIN", "poly")
 if SIN_IMPL == "auto":  # resolve like train/step.py: quality-safe kernel
     SIN_IMPL = "poly"
-assert SIN_IMPL in ("poly", "poly5", "exact"), (
-    f"SATNERF_BENCH_SIN={SIN_IMPL!r}: use poly, poly5, exact, or auto"
+assert SIN_IMPL in ("poly", "poly5", "poly7f", "exact"), (
+    f"SATNERF_BENCH_SIN={SIN_IMPL!r}: use poly, poly5, poly7f, exact, or auto"
 )
 CONFIG_DESC = f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16" + (
     "" if SIN_IMPL == "poly" else f"/{SIN_IMPL}"

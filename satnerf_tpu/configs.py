@@ -110,6 +110,8 @@ class NeRFConfig(BaseModel):
     # "poly": fast_sin minimax SIREN activation (~2e-6 abs err, ~2x faster
     # end-to-end on TPU); "poly5": degree-5 kernel (+8% step, PSNR-neutral
     # but measured ~0.9 m DSM-MAE cost — opt-in, for PSNR-bound workloads);
+    # "poly7f": one-term reduction + degree-7 kernel (<=4e-5 err, splits
+    # poly5's saving — measurement-gated candidate default);
     # "auto": the quality-safe choice (= poly); "exact": XLA's sin
     # (see ops/fastmath.py and train/step.py:resolve_sin_impl)
     sin_impl: str = "poly"

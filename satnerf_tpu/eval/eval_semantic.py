@@ -35,6 +35,8 @@ _DISPLAY = {
     "semantic_accuracy_comparison_non_corrupted": "Semantic Accuracy comparison to GT (Mean)",
     "semantic_accuracy_comparison_non_corrupted_wo_cars": "Semantic Accuracy comparison to GT w/o cars (Mean)",
     "uncertainty_at_transient": "Uncertainty at transient (Mean)",
+    "semantic_accuracy_coarse": "Semantic Accuracy coarse (Mean)",
+    "mIoU_coarse": "mIoU coarse (Mean)",
 }
 
 
@@ -106,6 +108,14 @@ def evaluate_semantic_image(
         entry["semantic_accuracy_wo_cars"] = semantic_accuracy(
             pred, img["semantic_no_cars"]
         )
+    if "semantic_label_coarse" in res:
+        # hierarchical runs also score the coarse pass, the reference's
+        # "<metric>_coarse" suffix convention (framework/components/
+        # rendering.py:119-174); chunked render surfaces the per-ray keys
+        pred_c = res["semantic_label_coarse"]
+        entry["semantic_accuracy_coarse"] = semantic_accuracy(pred_c, gt)
+        cm_c = confusion_matrix(pred_c, gt, n_classes, normalize="true")
+        entry["mIoU_coarse"] = float(np.nanmean(per_class_iou(cm_c)))
     if corrupted:
         clean = img["semantic_non_corrupted"]
         entry["semantic_accuracy_comparison_non_corrupted"] = semantic_accuracy(

@@ -58,7 +58,9 @@ class FieldConfig:
     # SIREN sine implementation: "poly" (fast_sin minimax polynomial,
     # ~2e-6 abs error, ~2x faster end-to-end on TPU), "poly5" (degree-5
     # kernel, ~1.5e-4 abs err — for bf16, which rounds coarser than that
-    # anyway), or "exact" (XLA sin).
+    # anyway), "poly7f" (one-term reduction + degree-7 kernel, <=4e-5:
+    # splits poly5's saving without its systematic bias), or "exact"
+    # (XLA sin).
     sin_impl: str = "poly"
     # trunk execution: "xla" (layer-by-layer jnp ops) or "pallas" (fused
     # VMEM-resident kernel, ops/pallas/trunk.py; SIREN-only, feat % 128 == 0)
@@ -84,7 +86,7 @@ class FieldConfig:
 
     def __post_init__(self):
         assert self.variant in VARIANTS, f"unknown variant {self.variant}"
-        assert self.sin_impl in ("poly", "poly5", "exact"), self.sin_impl
+        assert self.sin_impl in ("poly", "poly5", "poly7f", "exact"), self.sin_impl
         assert self.trunk_impl in ("xla", "pallas"), self.trunk_impl
 
     # -- capability flags --------------------------------------------------
@@ -229,7 +231,7 @@ def _pallas_ok(cfg: FieldConfig) -> bool:
     return (
         cfg.trunk_impl == "pallas"
         and cfg.siren
-        and cfg.sin_impl in ("poly", "poly5")
+        and cfg.sin_impl in ("poly", "poly5", "poly7f")
         and cfg.feat % 128 == 0
         and cfg.xyz_in <= 128
     )
@@ -256,13 +258,14 @@ def _act(cfg: FieldConfig, x, first: bool = False):
         # sin args are phase-sensitive: evaluate in f32 even when the GEMMs
         # run in bfloat16, then return to the compute dtype
         w0 = 30.0 if first else 1.0
-        if cfg.sin_impl in ("poly", "poly5"):
+        if cfg.sin_impl != "exact":
             # XLA's exact sin dominates the whole train step on TPU (VPU
             # range reduction); the ~2e-6-accurate polynomial is ~2x
             # end-to-end (see ops/fastmath.py and docs/performance.md)
-            from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
+            from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5, fast_sin7f
 
-            f = fast_sin5 if cfg.sin_impl == "poly5" else fast_sin
+            f = {"poly": fast_sin, "poly5": fast_sin5,
+                 "poly7f": fast_sin7f}[cfg.sin_impl]
             return f(w0 * x.astype(jnp.float32)).astype(x.dtype)
         y = jnp.sin(w0 * x.astype(jnp.float32))
         return y.astype(x.dtype)
@@ -330,7 +333,7 @@ def field_forward(
 
         spec = TrunkSpec(
             layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-            c_in=cfg.xyz_in, sin5=cfg.sin_impl == "poly5",
+            c_in=cfg.xyz_in, sin_mode=cfg.sin_impl,
         )
         kdt = dt if dt is not None else jnp.float32
         packed = pack_trunk(params["trunk"], spec, kdt)
@@ -437,7 +440,7 @@ def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
     kdt = dt if dt is not None else jnp.float32
     tspec = TrunkSpec(
         layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-        c_in=cfg.xyz_in, sin5=cfg.sin_impl == "poly5",
+        c_in=cfg.xyz_in, sin_mode=cfg.sin_impl,
     )
     spec = FieldSpec(
         trunk=tspec, fl=cfg.feat_last, tau=cfg.t_embedding_tau,

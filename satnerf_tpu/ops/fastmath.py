@@ -91,3 +91,26 @@ def fast_sin5(x):
     r2 = r * r
     p = _Q2 * r2 + _Q1
     return (r + r * r2 * p).astype(dtype)
+
+
+def fast_sin7f(x):
+    """sin(x) via the ONE-term range reduction + the DEGREE-7 fold kernel
+    (``sin_impl="poly7f"``): one reduction fma cheaper than :func:`fast_sin`.
+
+    Error budget: the single-float reduction contributes |n| * 2.4e-7
+    (measured 5.6e-5 max at |x| = 1e3, and only ~4e-6 for the |x| <~ 50
+    bulk of SIREN pre-activations) on top of the kernel's 1.75e-6 — below poly5's
+    1.1e-4 minimax residual, the measured DSM-MAE bias mechanism
+    (docs/performance.md "degree-5 sine"). Splits poly5's two-fma saving:
+    candidate bf16 default pending the paired-seed quality gate."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    n = jnp.round(xf * _INV_PI2)
+    r = xf - n * _PI2_F32
+    r = jnp.where(r > _HALF_PI, np.pi - r, r)
+    r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
+    r2 = r * r
+    p = _S3
+    p = p * r2 + _S2
+    p = p * r2 + _S1
+    return (r + r * r2 * p).astype(dtype)

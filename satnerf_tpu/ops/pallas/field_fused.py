@@ -266,7 +266,7 @@ def pack_aux(spec: FieldSpec, sun_d, t_emb, t_s_emb, dtype):
 def _heads_forward(spec: FieldSpec, shared, aux, hp):
     """Head chains from the (T, F) trunk output; returns the raw packed
     (T, LANE) f32 output. ``hp`` maps packed-weight names to arrays."""
-    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin_mode)
     dt = shared.dtype
     bias_idx = spec.hidden_bias_index()
     b_heads = hp["b_heads"]
@@ -318,7 +318,7 @@ def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
     out_ref = refs[len(keys)]
     tspec = spec.trunk
     dt = x_ref.dtype
-    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin_mode)
     x = x_ref[:]
 
     a0 = _dot(x, tw0[:]) + tb[0:1, :].astype(jnp.float32)
@@ -432,8 +432,8 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
     gw = {k: r for k, r in zip(keys, refs[n_in + 2 :])}
 
     dt = shared_ref.dtype
-    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin5)
-    _cos = lambda _v: _cos_f32(_v, spec.trunk.sin5)
+    _sin = lambda _v: _sin_f32(_v, spec.trunk.sin_mode)
+    _cos = lambda _v: _cos_f32(_v, spec.trunk.sin_mode)
     hp = {k: r[:] for k, r in zip(keys, head_refs)}
     bias_idx = spec.hidden_bias_index()
     b_heads = hp["b_heads"]

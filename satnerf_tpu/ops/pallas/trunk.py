@@ -65,14 +65,17 @@ class TrunkSpec:
     skips: tuple
     c_in: int  # true (unpadded) input width
     w0: float = 30.0
-    # degree-5 sine kernel (sin_impl="poly5": one-term reduction, ~1.5e-4
-    # abs err — for bf16 activations; see ops/fastmath.py:fast_sin5)
-    sin5: bool = False
+    # sine kernel selection (ops/fastmath.py): "poly" = Cody-Waite two-term
+    # reduction + degree-7 kernel; "poly5" = one-term reduction + degree-5
+    # (~1.5e-4 abs err, bf16 PSNR-bound path); "poly7f" = one-term
+    # reduction + degree-7 (fast_sin7f)
+    sin_mode: str = "poly"
 
     def __post_init__(self):
         assert self.feat % LANE == 0, "feat must be a multiple of 128"
         assert self.c_in <= LANE, "encoded input must fit one lane tile"
         assert 0 not in self.skips, "skip at layer 0 is not meaningful"
+        assert self.sin_mode in ("poly", "poly5", "poly7f"), self.sin_mode
 
     @property
     def n_skip(self) -> int:
@@ -84,20 +87,20 @@ class TrunkSpec:
 # -----------------------------------------------------------------------
 
 
-def _reduce(x, five=False):
-    """Range reduction to [-pi, pi] (f32): Cody-Waite two-term, or the
-    one-term reduction of the degree-5 variant (ops/fastmath.py)."""
+def _reduce(x, mode="poly"):
+    """Range reduction to [-pi, pi] (f32): Cody-Waite two-term ("poly"),
+    or the one-term reduction of the fast variants (ops/fastmath.py)."""
     n = jnp.round(x * _INV_PI2)
-    if five:
+    if mode in ("poly5", "poly7f"):
         return x - n * _PI2_F32
     r = x - n * _PI2_HI
     return r - n * _PI2_LO
 
 
-def _sin_poly(r, five=False):
+def _sin_poly(r, mode="poly"):
     """Odd minimax polynomial on the [-pi/2, pi/2] fold (ops/fastmath.py)."""
     r2 = r * r
-    if five:
+    if mode == "poly5":
         p = _Q2 * r2 + _Q1
     else:
         p = _S3
@@ -106,17 +109,17 @@ def _sin_poly(r, five=False):
     return r + r * r2 * p
 
 
-def _sin_f32(x, five=False):
-    r = _reduce(x, five)
+def _sin_f32(x, mode="poly"):
+    r = _reduce(x, mode)
     r = jnp.where(r > _HALF_PI, np.pi - r, r)
     r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
-    return _sin_poly(r, five)
+    return _sin_poly(r, mode)
 
 
-def _cos_f32(x, five=False):
+def _cos_f32(x, mode="poly"):
     """cos(x) = sin(pi/2 - |r|) for r the [-pi, pi] reduction of x."""
-    r = _reduce(x, five)
-    return _sin_poly(_HALF_PI - jnp.abs(r), five)
+    r = _reduce(x, mode)
+    return _sin_poly(_HALF_PI - jnp.abs(r), mode)
 
 
 def _dot(a, b):
@@ -155,10 +158,10 @@ def _fwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
     dt = x_ref.dtype
     x = x_ref[:]
     a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
-    h = _sin_f32(spec.w0 * a0, spec.sin5).astype(dt)
+    h = _sin_f32(spec.w0 * a0, spec.sin_mode).astype(dt)
     for i in range(1, spec.layers):
         a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
-        h = _sin_f32(a, spec.sin5).astype(dt)
+        h = _sin_f32(a, spec.sin_mode).astype(dt)
     out_ref[:] = h
 
 
@@ -169,7 +172,7 @@ def _fwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
 
 def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
                 g_ref, gx_ref, gw0_ref, gwmid_ref, gwskip_ref, gb_ref,
-                acts_ref):
+                acts_ref, hs_ref):
     """One row tile: recompute the forward (stashing pre-activations in
     VMEM), then reverse sweep. The weight/bias gradient outputs use a
     constant index map, so their blocks stay VMEM-resident across the
@@ -185,27 +188,38 @@ def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
         gwskip_ref[:] = jnp.zeros_like(gwskip_ref)
         gb_ref[:] = jnp.zeros_like(gb_ref)
 
-    # ---- forward recompute, stashing pre-activations ---------------------
+    # ---- forward recompute, stashing pre- AND post-activations -----------
+    # (stashing h_i too costs one more (L, tile, F) VMEM block but removes
+    # L redundant sine recomputations from the reverse sweep — the VPU
+    # sine is the kernel's serial bottleneck, docs/performance.md)
     a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
     acts_ref[0, :, :] = a0.astype(dt)
-    h = _sin_f32(spec.w0 * a0, spec.sin5).astype(dt)
+    h = _sin_f32(spec.w0 * a0, spec.sin_mode).astype(dt)
+    hs_ref[0, :, :] = h
     for i in range(1, L):
         a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
         acts_ref[i, :, :] = a.astype(dt)
-        h = _sin_f32(a, spec.sin5).astype(dt)
+        h = _sin_f32(a, spec.sin_mode).astype(dt)
+        hs_ref[i, :, :] = h
 
-    # ---- reverse sweep ----------------------------------------------------
+    _bwd_sweep(spec, x, w0_ref, w_mid_ref, w_skip_ref, g_ref, gx_ref,
+               gw0_ref, gwmid_ref, gwskip_ref, gb_ref, acts_ref, hs_ref)
+
+
+def _bwd_sweep(spec: TrunkSpec, x, w0_ref, w_mid_ref, w_skip_ref, g_ref,
+               gx_ref, gw0_ref, gwmid_ref, gwskip_ref, gb_ref, acts_ref,
+               hs_ref):
+    """Reverse sweep over the layer chain given stashed pre-activations
+    ``acts_ref`` (L, T, F) and post-activations ``hs_ref`` (L, T, F)."""
+    dt = x.dtype
+    L = spec.layers
     g = g_ref[:].astype(jnp.float32)  # d loss / d h_{L-1}
     gx_skip = jnp.zeros((x.shape[0], LANE), jnp.float32)
     for i in range(L - 1, 0, -1):
         a = acts_ref[i, :, :].astype(jnp.float32)
-        ga = g * _cos_f32(a, spec.sin5)  # layers >= 1 use w0 = 1
+        ga = g * _cos_f32(a, spec.sin_mode)  # layers >= 1 use w0 = 1
         ga_dt = ga.astype(dt)
-        h_prev = (
-            _sin_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32), spec.sin5)
-            if i == 1
-            else _sin_f32(acts_ref[i - 1, :, :].astype(jnp.float32), spec.sin5)
-        ).astype(dt)
+        h_prev = hs_ref[i - 1, :, :]
         gwmid_ref[i - 1, :, :] += _dot_at_b(h_prev, ga_dt)
         gb_ref[i : i + 1, :] += jnp.sum(ga, axis=0, keepdims=True)
         if i in spec.skips:
@@ -217,13 +231,49 @@ def _bwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
     # layer 0: h_0 = sin(w0 * a0)
     ga0 = (
         g
-        * _cos_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32), spec.sin5)
+        * _cos_f32(spec.w0 * acts_ref[0, :, :].astype(jnp.float32), spec.sin_mode)
         * spec.w0
     )
     ga0_dt = ga0.astype(dt)
     gw0_ref[:] += _dot_at_b(x, ga0_dt)
     gb_ref[0:1, :] += jnp.sum(ga0, axis=0, keepdims=True)
     gx_ref[:] = (_dot_a_bt(ga0_dt, w0_ref[:]) + gx_skip).astype(dt)
+
+
+def _bwd_kernel_stored(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref,
+                       acts_in_ref, g_ref, gx_ref, gw0_ref, gwmid_ref,
+                       gwskip_ref, gb_ref, hs_ref):
+    """Stored-activation backward (``bwd="stored"``): the forward pass
+    already wrote every pre-activation tile to HBM (XLA-style residuals),
+    so this kernel skips the L-GEMM forward recompute entirely — it loads
+    the (L, T, F) activation block, rebuilds h_i with L sines, and runs
+    the same reverse sweep. Trades ~2 * L*N*F bytes of HBM traffic
+    (pipelined behind compute by Mosaic's blocked input streaming) for the
+    recompute GEMMs; only viable when the whole batch's activations fit
+    in HBM — the recompute kernel remains the engine for >= 16384
+    (docs/performance.md "hybrid backward")."""
+    dt = x_ref.dtype
+    L = spec.layers
+    x = x_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw0_ref[:] = jnp.zeros_like(gw0_ref)
+        gwmid_ref[:] = jnp.zeros_like(gwmid_ref)
+        gwskip_ref[:] = jnp.zeros_like(gwskip_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
+
+    # post-activations from the stored pre-activations: L sines, no GEMMs
+    hs_ref[0, :, :] = _sin_f32(
+        spec.w0 * acts_in_ref[0, :, :].astype(jnp.float32), spec.sin_mode
+    ).astype(dt)
+    for i in range(1, L - 1):  # h_{L-1} is never read by the sweep
+        hs_ref[i, :, :] = _sin_f32(
+            acts_in_ref[i, :, :].astype(jnp.float32), spec.sin_mode
+        ).astype(dt)
+
+    _bwd_sweep(spec, x, w0_ref, w_mid_ref, w_skip_ref, g_ref, gx_ref,
+               gw0_ref, gwmid_ref, gwskip_ref, gb_ref, acts_in_ref, hs_ref)
 
 
 # -----------------------------------------------------------------------
@@ -364,6 +414,7 @@ def _fused_trunk_bwd(spec, interpret, res, g):
         ],
         scratch_shapes=[
             pltpu.VMEM((L, tile, F), x.dtype),  # stashed pre-activations
+            pltpu.VMEM((L, tile, F), x.dtype),  # stashed post-activations
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

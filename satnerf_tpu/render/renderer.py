@@ -357,12 +357,12 @@ def render_image_chunked(
         # hierarchical sampling nests the coarse pass as a dict; surface the
         # per-ray outputs eval consumers read as "<k>_coarse" keys (the
         # reference's suffix convention, rendering.py:119-174). Only the
-        # composited per-RAY arrays are kept — hauling the coarse per-sample
+        # composited per-RAY arrays are kept — hauling the coarse per-SAMPLE
         # tensors (weights/sigmas/albedo/...) to host would roughly double
         # eval transfer over the remote tunnel for data nothing consumes.
         coarse = res.pop("coarse", None)
         if coarse is not None:
-            for k in ("rgb", "depth"):
+            for k in ("rgb", "depth", "semantic_logits", "semantic_label"):
                 if k in coarse:
                     res[f"{k}_coarse"] = coarse[k]
         res = jax.tree.map(np.asarray, res)

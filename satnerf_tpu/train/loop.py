@@ -154,7 +154,18 @@ class Trainer:
             signal.signal(sig, old)
 
     # ------------------------------------------------------------------
-    def fit(self, max_steps: int | None = None, validate_every_epoch: bool = True):
+    def fit(self, max_steps: int | None = None, validate_every_epoch: bool = True,
+            step_callbacks: dict | None = None):
+        """Run the training loop.
+
+        ``step_callbacks`` maps global step numbers to ``fn(state, step)``
+        hooks invoked exactly when the device counter reaches that step
+        (the dispatch block is clipped to land on the boundary) — the
+        analogue of the reference's Lightning callbacks
+        (ref: framework/pipelines.py ``configure_callbacks``), used e.g.
+        for learning-curve evaluation at fixed horizons. Callback wall
+        time is excluded from the reported training rate.
+        """
         cfg = self.cfg
         pipeline = self.pipeline
         if not pipeline.loaded:
@@ -305,17 +316,20 @@ class Trainer:
                 depth_sampler.fast_forward(min(start_step, ds_drop))
         step_i = start_step
         last_log_step = start_step
+        cb_steps = sorted(s for s in (step_callbacks or {}) if s > start_step)
         prev_handlers = self._install_signal_handlers()
 
         while step_i < max_steps and not self._stop_requested:
             use_depth = has_depth and step_i < ds_drop
+            next_cb = next((s for s in cb_steps if s > step_i), max_steps)
             # largest block that crosses no step-accurate boundary
-            # (logging, epoch/validation end, depth drop, run end)
+            # (logging, epoch/validation end, depth drop, callbacks, run end)
             block = min(
                 max_steps - step_i,
                 ((step_i // self.log_every) + 1) * self.log_every - step_i,
                 ((step_i // steps_per_epoch) + 1) * steps_per_epoch - step_i,
                 (ds_drop - step_i) if use_depth else max_steps,
+                next_cb - step_i,
                 spd,
             )
             if block == spd and spd > 1:
@@ -361,6 +375,19 @@ class Trainer:
                 last_log_step = step_i
                 t_last = now
                 self._log_train(step_i, fetched, rate, batch_size)
+
+            if step_callbacks and step_i in step_callbacks:
+                # close the timing interval so callback wall time (e.g. a
+                # full learning-curve eval) never pollutes the train rate
+                if last_metrics is not None:
+                    jax.device_get(last_metrics)  # forces step completion
+                now = time.time()
+                if steps_timed or last_log_step > start_step:
+                    train_time_acc += now - t_last
+                    steps_timed += step_i - last_log_step
+                last_log_step = step_i
+                step_callbacks[step_i](state, step_i)
+                t_last = time.time()
 
             # epoch boundary (or end of run) -> validation + checkpoints
             new_epoch = step_i // steps_per_epoch

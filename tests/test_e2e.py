@@ -154,3 +154,38 @@ def test_steps_per_dispatch_invariance(workspace):
         st1.params, st4.params,
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
+def test_step_callbacks_fire_at_exact_steps(workspace):
+    """step_callbacks land on their exact global step even when the loop
+    dispatches scanned blocks (spd>1), and callback time never corrupts the
+    trajectory (same final state as a run without callbacks)."""
+    import jax
+
+    def run(callbacks):
+        cfg = _cfg(workspace)
+        cfg.run.steps_per_dispatch = 4
+        cfg.run.max_train_steps = 14
+        cfg.run.num_sanity_val_steps = 0
+        pipeline = load_pipeline(cfg)
+        pipeline.prepare_run()
+        pipeline.load_datasets()
+        trainer = Trainer(pipeline, log_every=50)
+        state = trainer.fit(
+            validate_every_epoch=False, step_callbacks=callbacks
+        )
+        return state
+
+    seen = []
+
+    def cb(state, step):
+        seen.append((step, int(jax.device_get(state.step))))
+
+    state_cb = run({6: cb, 10: cb, 99: cb})  # 99 > max_steps: ignored
+    assert seen == [(6, 6), (10, 10)]
+    state_plain = run(None)
+    diffs = jax.tree.map(
+        lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
+        state_cb.params, state_plain.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0

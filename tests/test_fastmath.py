@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
+from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5, fast_sin7f
 
 
 class TestFastSin:
@@ -84,6 +84,47 @@ class TestFastSin5:
         b = np.asarray(fast_sin5(x).astype(jnp.bfloat16).astype(jnp.float32))
         assert np.mean(a != b) < 0.05
         assert np.max(np.abs(a - b)) < 1e-2
+
+    def test_poly7f_accuracy(self):
+        # one-term reduction + degree-7 kernel: keeps near-poly accuracy on
+        # the SIREN bulk range and stays 3x below poly5's minimax residual
+        # even at |x| = 1000 (reduction error |n| * 2.4e-7)
+        x = np.linspace(-50, 50, 1_000_001).astype(np.float32)
+        got = np.asarray(fast_sin7f(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 6e-6
+        x = np.linspace(-1000, 1000, 2_000_001).astype(np.float32)
+        got = np.asarray(fast_sin7f(jnp.asarray(x)))
+        ref = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - ref)) < 7e-5  # measured 5.6e-5
+
+    def test_poly7f_gradient_matches_cos(self):
+        x = jnp.linspace(-20.0, 20.0, 4097)
+        g = jax.vmap(jax.grad(fast_sin7f))(x)
+        assert np.max(np.abs(np.asarray(g) - np.cos(np.asarray(x)))) < 1e-4
+
+    def test_field_poly7f_matches_exact(self):
+        from satnerf_tpu.models.field import (
+            FieldConfig,
+            field_forward,
+            init_field_params,
+        )
+
+        base = dict(variant="satnerf", layers=4, feat=256, skips=(2,),
+                    siren=True, mapping=False)
+        cfg_f = FieldConfig(sin_impl="poly7f", **base)
+        cfg_e = FieldConfig(sin_impl="exact", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_f)
+        xyz = jax.random.uniform(
+            jax.random.PRNGKey(1), (512, 3), minval=-1.0, maxval=1.0
+        )
+        sun_d = jnp.tile(jnp.array([[0.3, 0.4, -0.866]]), (512, 1))
+        t_emb = jax.random.normal(jax.random.PRNGKey(2), (512, 4)) * 0.1
+        out_f = field_forward(params, cfg_f, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_e = field_forward(params, cfg_e, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out_e:
+            err = float(jnp.max(jnp.abs(out_f[k] - out_e[k])))
+            assert err < 5e-5, (k, err)
 
     def test_field_poly5_config(self):
         from satnerf_tpu.models.field import (

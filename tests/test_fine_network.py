@@ -168,6 +168,42 @@ def test_fine_network_eval_image_reports_coarse_metrics(tmp_path):
     assert float(out["psnr_coarse"]) > 0
 
 
+def test_fine_network_semantic_coarse_keys_and_metrics(tmp_path):
+    """Chunked render surfaces the coarse semantic per-ray keys, and
+    evaluate_semantic_image reports coarse accuracy/mIoU for hierarchical
+    runs (reference suffix convention, rendering.py:119-174)."""
+    from satnerf_tpu.eval.eval_semantic import evaluate_semantic_image
+    from satnerf_tpu.render.renderer import render_image_chunked
+
+    fcfg = FieldConfig(variant="rs_semantic", mapping=True, **SMALL)
+    rcfg = RenderConfig(
+        field=fcfg, n_samples=8, n_importance=8, use_fine_network=True,
+        solar_correction=False,
+    )
+    params = init_params(jax.random.PRNGKey(9), fcfg, t_vocab=4,
+                         use_fine_network=True)
+    rays, extras = _rays(25)
+    res = render_image_chunked(params, rcfg, np.asarray(rays),
+                               np.asarray(extras), chunk=16)
+    n_cls = fcfg.n_classes
+    assert res["semantic_logits_coarse"].shape == (25, n_cls)
+    assert res["semantic_label_coarse"].shape == (25,)
+
+    class _DS:
+        semantic_cls_labels = {i: f"c{i}" for i in range(n_cls)}
+        semantic_n_classes = n_cls
+        car_cls_idx = 4
+
+    rng = np.random.default_rng(3)
+    img = {
+        "name": "synthetic_000",
+        "semantic": rng.integers(0, n_cls, 25),
+    }
+    entry, _ = evaluate_semantic_image(_DS(), img, res, str(tmp_path), False)
+    assert "semantic_accuracy_coarse" in entry and "mIoU_coarse" in entry
+    assert 0.0 <= entry["semantic_accuracy_coarse"] <= 1.0
+
+
 def test_fine_network_semantic_losses_cover_coarse_pass():
     from satnerf_tpu.train.state import create_train_state, make_optimizer
     from satnerf_tpu.train.step import StepConfig, build_train_step

@@ -379,9 +379,23 @@ class TestPoly5Kernels:
             err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
             assert err < 5e-4, (k, err)
 
-    def test_sin5_specs_are_distinct_programs(self):
+    def test_sin_mode_specs_are_distinct_programs(self):
         # same shapes, different sine variant -> different (hashable) specs,
-        # so the jit cache cannot alias the two programs
-        a = TrunkSpec(layers=2, feat=128, skips=(1,), c_in=63, sin5=False)
-        b = TrunkSpec(layers=2, feat=128, skips=(1,), c_in=63, sin5=True)
-        assert a != b and hash(a) != hash(b)
+        # so the jit cache cannot alias the programs
+        specs = [
+            TrunkSpec(layers=2, feat=128, skips=(1,), c_in=63, sin_mode=m)
+            for m in ("poly", "poly5", "poly7f")
+        ]
+        assert len(set(specs)) == 3 and len({hash(s) for s in specs}) == 3
+
+    def test_trunk_forward_matches_xla_poly7f(self):
+        cfg_x, cfg_p = _cfg_pair(
+            layers=4, feat=256, skips=(2,), mapping=True, sin_impl="poly7f"
+        )
+        params = init_field_params(jax.random.PRNGKey(0), cfg_x)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 384, cfg_x)
+        out_x = field_forward(params, cfg_x, xyz, sun_d=sun_d, t_emb=t_emb)
+        out_p = field_forward(params, cfg_p, xyz, sun_d=sun_d, t_emb=t_emb)
+        for k in out_x:
+            err = float(jnp.max(jnp.abs(out_x[k] - out_p[k])))
+            assert err < 5e-4, (k, err)

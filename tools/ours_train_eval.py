@@ -37,7 +37,24 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--steps-per-dispatch", type=int, default=4)
+    ap.add_argument(
+        "--eval-at", default="",
+        help="comma-separated global steps at which to run the full eval "
+             "mid-training (learning-curve horizons); each writes "
+             "results_step{N}.json",
+    )
+    ap.add_argument(
+        "--platform", default="default",
+        help="'cpu' forces the CPU backend (this machine's sitecustomize "
+             "pins a TPU plugin that overrides JAX_PLATFORMS; forcing needs "
+             "jax.config too); 'default' uses whatever JAX resolves",
+    )
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
     from satnerf_tpu.pipelines import load_pipeline
@@ -72,8 +89,25 @@ def main(argv=None):
     pipeline.load_datasets()
 
     trainer = Trainer(pipeline, log_every=100)
+
+    def _curve_eval(state, step):
+        r = evaluate_ours(args, pipeline, state)
+        fp = os.path.join(args.out_dp, f"results_step{step}.json")
+        with open(fp, "w") as f:
+            json.dump(r, f, indent=2)
+        print(
+            f"[curve] step {step}: psnr={r['psnr']:.2f} mae={r['mae']:.2f} "
+            f"acc={r['acc']:.3f} miou={r['miou']:.3f}",
+            flush=True,
+        )
+
+    callbacks = {
+        int(s): _curve_eval
+        for s in args.eval_at.split(",")
+        if s.strip() and int(s) < args.steps
+    }
     t0 = time.time()
-    state = trainer.fit()
+    state = trainer.fit(step_callbacks=callbacks or None)
     train_seconds = time.time() - t0
 
     results = evaluate_ours(args, pipeline, state)

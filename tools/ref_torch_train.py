@@ -241,10 +241,16 @@ def train_reference(args):
     ddepths = t(d["depths"])
     dweights = t(d["weights"])
 
+    eval_at = {
+        int(s)
+        for s in getattr(args, "eval_at", "").split(",")
+        if s.strip() and int(s) < args.steps
+    }
     rng = np.random.default_rng(args.seed)
     perm = rng.permutation(n_rays)
     cursor = 0
     history = []
+    eval_seconds = 0.0
     t0 = time.time()
     for step in range(args.steps):
         epoch = step // steps_per_epoch
@@ -277,8 +283,22 @@ def train_reference(args):
                 flush=True,
             )
             history.append({"step": step, "loss": loss.item()})
+        if (step + 1) in eval_at:
+            te = time.time()
+            r = evaluate_reference(args, cfgs, models, renderer, test)
+            for m in models.values():
+                m.train()  # evaluate_reference flips them to eval mode
+            fp = os.path.join(args.out_dp, f"results_step{step + 1}.json")
+            with open(fp, "w") as f:
+                json.dump(r, f, indent=2)
+            print(
+                f"[curve] step {step + 1}: psnr={r['psnr']:.2f} "
+                f"mae={r['mae']:.2f} acc={r['acc']:.3f} miou={r['miou']:.3f}",
+                flush=True,
+            )
+            eval_seconds += time.time() - te
 
-    train_seconds = time.time() - t0
+    train_seconds = time.time() - t0 - eval_seconds
     torch.save(
         {k: m.state_dict() for k, m in models.items()},
         os.path.join(args.out_dp, "reference_trained.pt"),
@@ -451,6 +471,11 @@ def main(argv=None):
     ap.add_argument("--n-samples", type=int, default=32)
     ap.add_argument("--units", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--eval-at", default="",
+        help="comma-separated steps for mid-training learning-curve evals "
+             "(each writes results_step{N}.json)",
+    )
     ap.add_argument("--paper-timing", action="store_true")
     ap.add_argument("--timing-steps", type=int, default=5)
     args = ap.parse_args(argv)

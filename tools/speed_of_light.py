@@ -65,15 +65,17 @@ def main(argv=None):
     ap.add_argument("--feat", type=int, default=512)
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--peak-tflops", type=float, default=394.0)
-    ap.add_argument("--sin", default="poly", choices=["poly", "poly5"])
+    ap.add_argument("--sin", default="poly",
+                    choices=["poly", "poly5", "poly7f"])
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5
+    from satnerf_tpu.ops.fastmath import fast_sin, fast_sin5, fast_sin7f
 
-    sin_fn = fast_sin5 if args.sin == "poly5" else fast_sin
+    sin_fn = {"poly": fast_sin, "poly5": fast_sin5,
+              "poly7f": fast_sin7f}[args.sin]
 
     dt = jnp.dtype(args.dtype)
     # per-step field points: main half + solar-correction half
