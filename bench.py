@@ -71,11 +71,15 @@ if SIN_IMPL == "auto":  # resolve like train/step.py: quality-safe kernel
 assert SIN_IMPL in ("poly", "poly5", "poly7f", "exact"), (
     f"SATNERF_BENCH_SIN={SIN_IMPL!r}: use poly, poly5, poly7f, exact, or auto"
 )
-CONFIG_DESC = f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16" + (
-    "" if SIN_IMPL == "poly" else f"/{SIN_IMPL}"
+TRUNK_BWD = os.environ.get("SATNERF_BENCH_BWD", "recompute")
+CONFIG_DESC = (
+    f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16"
+    + ("" if SIN_IMPL == "poly" else f"/{SIN_IMPL}")
+    + ("" if TRUNK_BWD == "recompute" else f"/bwd-{TRUNK_BWD}")
 )
 IS_DEFAULT_CONFIG = (
-    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL) == (8192, "xla", 0, "poly")
+    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL, TRUNK_BWD)
+    == (8192, "xla", 0, "poly", "recompute")
 )
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
@@ -114,7 +118,8 @@ def main(deadline_s: float | None = None) -> None:
     from satnerf_tpu.train.step import StepConfig, build_train_step
 
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
-                       n_classes=5, trunk_impl=TRUNK_IMPL, sin_impl=SIN_IMPL)
+                       n_classes=5, trunk_impl=TRUNK_IMPL, sin_impl=SIN_IMPL,
+                       trunk_bwd=TRUNK_BWD)
     rcfg = RenderConfig(
         field=fcfg, n_samples=64, solar_correction=True,
         compute_dtype="bfloat16", remat_chunks=REMAT_CHUNKS,

@@ -119,6 +119,9 @@ class NeRFConfig(BaseModel):
     # (pick the measured-best engine from dtype + per-dispatch batch size,
     # see train/step.py:resolve_trunk_impl)
     trunk_impl: str = "xla"
+    # pallas trunk backward: "recompute" | "stored" | "auto"
+    # (see train/step.py:resolve_trunk_bwd and ops/pallas/trunk.py)
+    trunk_bwd: str = "recompute"
     mapping_pos_n_freq: int = 10
     mapping_dir_n_freq: int = 4
     fc_use_full_features: bool = False

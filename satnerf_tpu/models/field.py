@@ -65,6 +65,11 @@ class FieldConfig:
     # trunk execution: "xla" (layer-by-layer jnp ops) or "pallas" (fused
     # VMEM-resident kernel, ops/pallas/trunk.py; SIREN-only, feat % 128 == 0)
     trunk_impl: str = "xla"
+    # pallas trunk backward: "recompute" (VMEM forward recompute, O(tile)
+    # residuals — required when activations exceed HBM, >= 16384 rays) or
+    # "stored" (forward writes pre-activations to HBM, VJP consumes them —
+    # XLA-style, skips the L recompute GEMMs; see ops/pallas/trunk.py)
+    trunk_bwd: str = "recompute"
     # Positional encoding usage differs per reference variant: NeRF uses
     # mapping=True + ReLU (ref: nerf.py:99-104 defaults), Shadow-NeRF and
     # SatNeRF feed RAW xyz into the SIREN trunk (mapping=False defaults,
@@ -88,6 +93,7 @@ class FieldConfig:
         assert self.variant in VARIANTS, f"unknown variant {self.variant}"
         assert self.sin_impl in ("poly", "poly5", "poly7f", "exact"), self.sin_impl
         assert self.trunk_impl in ("xla", "pallas"), self.trunk_impl
+        assert self.trunk_bwd in ("recompute", "stored"), self.trunk_bwd
 
     # -- capability flags --------------------------------------------------
     @property
@@ -333,7 +339,7 @@ def field_forward(
 
         spec = TrunkSpec(
             layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-            c_in=cfg.xyz_in, sin_mode=cfg.sin_impl,
+            c_in=cfg.xyz_in, sin_mode=cfg.sin_impl, bwd=cfg.trunk_bwd,
         )
         kdt = dt if dt is not None else jnp.float32
         packed = pack_trunk(params["trunk"], spec, kdt)
@@ -440,7 +446,7 @@ def _fused_field_forward(params, cfg: FieldConfig, enc_x, sun_d, t_emb,
     kdt = dt if dt is not None else jnp.float32
     tspec = TrunkSpec(
         layers=cfg.layers, feat=cfg.feat, skips=tuple(cfg.skips),
-        c_in=cfg.xyz_in, sin_mode=cfg.sin_impl,
+        c_in=cfg.xyz_in, sin_mode=cfg.sin_impl, bwd=cfg.trunk_bwd,
     )
     spec = FieldSpec(
         trunk=tspec, fl=cfg.feat_last, tau=cfg.t_embedding_tau,

@@ -312,8 +312,8 @@ def _heads_forward(spec: FieldSpec, shared, aux, hp):
     return out + hp["b_small"][0:1, :]
 
 
-def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
-                tw0, twmid, twskip, tb, *refs):
+def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, emit_acts: bool,
+                x_ref, aux_ref, tw0, twmid, twskip, tb, *refs):
     head_refs = refs[: len(keys)]
     out_ref = refs[len(keys)]
     tspec = spec.trunk
@@ -322,12 +322,16 @@ def _fwd_kernel(spec: FieldSpec, keys, emit_shared: bool, x_ref, aux_ref,
     x = x_ref[:]
 
     a0 = _dot(x, tw0[:]) + tb[0:1, :].astype(jnp.float32)
+    if emit_acts:  # trunk bwd="stored": pre-activations as residuals
+        refs[len(keys) + 2][0, :, :] = a0.astype(dt)
     h = _sin(tspec.w0 * a0).astype(dt)
     for i in range(1, tspec.layers):
         a = _dot(h, twmid[i - 1])
         if i in tspec.skips:
             a = a + _dot(x, twskip[tspec.skips.index(i)])
         a = a + tb[i : i + 1, :].astype(jnp.float32)
+        if emit_acts:
+            refs[len(keys) + 2][i, :, :] = a.astype(dt)
         h = _sin(a).astype(dt)
     if emit_shared:  # backward residual; skipped on the eval path
         refs[len(keys) + 1][:] = h
@@ -363,28 +367,34 @@ def fused_field(spec: FieldSpec, interpret: bool, x, aux, packed_trunk,
     differentiated (eval/render), the kernel skips emitting the (N, F)
     ``shared`` backward residual.
     """
-    out, _ = _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
-                       emit_shared=False)
+    out, _, _ = _fwd_call(spec, interpret, x, aux, packed_trunk,
+                          packed_heads, emit_shared=False)
     return out
 
 
 def _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
               emit_shared: bool):
     tspec = spec.trunk
-    F = tspec.feat
+    F, L = tspec.feat, tspec.layers
     xp, n = _pad_rows(_pad_lanes(x), FWD_TILE)
     auxp, _ = _pad_rows(aux, FWD_TILE)
     n_pad = xp.shape[0]
 
+    # trunk bwd="stored" residuals ride along only when differentiating
+    emit_acts = emit_shared and tspec.bwd == "stored"
     keys = spec.head_keys()
     head_arrays = [packed_heads[k] for k in keys]
-    kern = functools.partial(_fwd_kernel, spec, keys, emit_shared)
+    kern = functools.partial(_fwd_kernel, spec, keys, emit_shared, emit_acts)
 
     out_specs = [_row_spec(FWD_TILE, LANE)]
     out_shape = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
     if emit_shared:
         out_specs.append(_row_spec(FWD_TILE, F))
         out_shape.append(jax.ShapeDtypeStruct((n_pad, F), x.dtype))
+    if emit_acts:
+        out_specs.append(pl.BlockSpec((L, FWD_TILE, F), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((L, n_pad, F), x.dtype))
 
     outs = pl.pallas_call(
         kern,
@@ -406,15 +416,15 @@ def _fwd_call(spec, interpret, x, aux, packed_trunk, packed_heads,
     )(xp, auxp, packed_trunk["w0"], packed_trunk["w_mid"],
       packed_trunk["w_skip"], packed_trunk["b"], *head_arrays)
 
-    if emit_shared:
-        return outs[0][:n], outs[1][:n]
-    return outs[0][:n], None
+    shared = outs[1][:n] if emit_shared else None
+    acts = outs[2] if emit_acts else None
+    return outs[0][:n], shared, acts
 
 
 def _fused_field_fwd(spec, interpret, x, aux, packed_trunk, packed_heads):
-    out, shared = _fwd_call(spec, interpret, x, aux, packed_trunk,
-                            packed_heads, emit_shared=True)
-    return out, (x, aux, packed_trunk, packed_heads, shared)
+    out, shared, acts = _fwd_call(spec, interpret, x, aux, packed_trunk,
+                                  packed_heads, emit_shared=True)
+    return out, (x, aux, packed_trunk, packed_heads, shared, acts)
 
 
 # -----------------------------------------------------------------------
@@ -567,7 +577,7 @@ def _heads_bwd_kernel(spec: FieldSpec, keys, shared_ref, aux_ref, g_ref,
 
 
 def _fused_field_bwd(spec, interpret, res, g):
-    x, aux, packed_trunk, packed_heads, shared = res
+    x, aux, packed_trunk, packed_heads, shared, acts = res
     tspec = spec.trunk
     F = tspec.feat
     tile = BWD_TILE
@@ -611,8 +621,8 @@ def _fused_field_bwd(spec, interpret, res, g):
         for k, gv in zip(keys, outs[2:])
     }
 
-    gx, g_trunk = _fused_trunk_bwd(tspec, interpret, (x, packed_trunk),
-                                   g_shared)
+    gx, g_trunk = _fused_trunk_bwd(tspec, interpret,
+                                   (x, packed_trunk, acts), g_shared)
     return gx, g_aux.astype(aux.dtype), g_trunk, g_heads
 
 

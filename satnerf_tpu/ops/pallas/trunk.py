@@ -70,12 +70,20 @@ class TrunkSpec:
     # (~1.5e-4 abs err, bf16 PSNR-bound path); "poly7f" = one-term
     # reduction + degree-7 (fast_sin7f)
     sin_mode: str = "poly"
+    # backward engine: "recompute" re-runs the forward per tile in VMEM
+    # (memory-frugal: O(tile) residuals — the only option once the batch's
+    # activations exceed HBM, i.e. >= 16384 rays at the flagship shape);
+    # "stored" makes the forward write every pre-activation tile to HBM
+    # and the VJP consume them (XLA-style residuals: skips the L-GEMM
+    # recompute at the cost of 2*L*N*F bytes of pipelined HBM traffic)
+    bwd: str = "recompute"
 
     def __post_init__(self):
         assert self.feat % LANE == 0, "feat must be a multiple of 128"
         assert self.c_in <= LANE, "encoded input must fit one lane tile"
         assert 0 not in self.skips, "skip at layer 0 is not meaningful"
         assert self.sin_mode in ("poly", "poly5", "poly7f"), self.sin_mode
+        assert self.bwd in ("recompute", "stored"), self.bwd
 
     @property
     def n_skip(self) -> int:
@@ -153,14 +161,18 @@ def _preact(spec: TrunkSpec, i: int, h, x, w_mid_ref, w_skip_ref, b_ref):
 # -----------------------------------------------------------------------
 
 
-def _fwd_kernel(spec: TrunkSpec, x_ref, w0_ref, w_mid_ref, w_skip_ref, b_ref,
-                out_ref):
+def _fwd_kernel(spec: TrunkSpec, emit_acts: bool, x_ref, w0_ref, w_mid_ref,
+                w_skip_ref, b_ref, out_ref, *acts_out):
     dt = x_ref.dtype
     x = x_ref[:]
     a0 = _dot(x, w0_ref[:]) + b_ref[0:1, :].astype(jnp.float32)
+    if emit_acts:  # bwd="stored": pre-activations are the backward residual
+        acts_out[0][0, :, :] = a0.astype(dt)
     h = _sin_f32(spec.w0 * a0, spec.sin_mode).astype(dt)
     for i in range(1, spec.layers):
         a = _preact(spec, i, h, x, w_mid_ref, w_skip_ref, b_ref)
+        if emit_acts:
+            acts_out[0][i, :, :] = a.astype(dt)
         h = _sin_f32(a, spec.sin_mode).astype(dt)
     out_ref[:] = h
 
@@ -336,18 +348,27 @@ def fused_trunk(spec: TrunkSpec, interpret: bool, x, packed):
     """x: (N, c_in) points in compute dtype -> (N, feat) trunk activations.
 
     ``packed`` comes from :func:`pack_trunk`. Differentiable in both ``x``
-    and ``packed`` (custom VJP backed by the backward kernel).
+    and ``packed`` (custom VJP backed by the backward kernel). When NOT
+    being differentiated (eval/render), no activation residuals are
+    emitted regardless of ``spec.bwd``.
     """
-    out, _ = _fused_trunk_fwd(spec, interpret, x, packed)
+    out, _ = _trunk_fwd_call(spec, interpret, x, packed, emit_acts=False)
     return out
 
 
-def _fused_trunk_fwd(spec, interpret, x, packed):
-    F = spec.feat
+def _trunk_fwd_call(spec, interpret, x, packed, emit_acts: bool):
+    F, L = spec.feat, spec.layers
     xp, n = _pad_rows(_pad_lanes(x), FWD_TILE)
     n_pad = xp.shape[0]
-    kern = functools.partial(_fwd_kernel, spec)
-    out = pl.pallas_call(
+    kern = functools.partial(_fwd_kernel, spec, emit_acts)
+    out_specs = [pl.BlockSpec((FWD_TILE, F), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, F), x.dtype)]
+    if emit_acts:
+        out_specs.append(pl.BlockSpec((L, FWD_TILE, F), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((L, n_pad, F), x.dtype))
+    outs = pl.pallas_call(
         kern,
         grid=(n_pad // FWD_TILE,),
         in_specs=[
@@ -361,41 +382,70 @@ def _fused_trunk_fwd(spec, interpret, x, packed):
             pl.BlockSpec((spec.layers, F), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FWD_TILE, F), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, F), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"])
-    return out[:n], (x, packed)
+    # NB the padded-row tail of acts is kept: the backward re-pads to
+    # BWD_TILE from the same n_pad multiple, so rows align tile-for-tile
+    return outs[0][:n], (outs[1] if emit_acts else None)
+
+
+def _fused_trunk_fwd(spec, interpret, x, packed):
+    out, acts = _trunk_fwd_call(
+        spec, interpret, x, packed, emit_acts=spec.bwd == "stored"
+    )
+    return out, (x, packed, acts)
 
 
 def _fused_trunk_bwd(spec, interpret, res, g):
-    x, packed = res
+    x, packed, acts = res
     F, L = spec.feat, spec.layers
     tile = BWD_TILE
     xp, n = _pad_rows(_pad_lanes(x), tile)
     gp, _ = _pad_rows(g.astype(x.dtype), tile)
     n_pad = xp.shape[0]
-    kern = functools.partial(_bwd_kernel, spec)
+    stored = spec.bwd == "stored"
     const3 = lambda i: (0, 0, 0)
     const2 = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANE, F), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, F, F), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((spec.n_skip, LANE, F), const3,
+                     memory_space=pltpu.VMEM),
+    ]
+    if stored:
+        # the forward wrote acts at the FWD_TILE row padding (a multiple
+        # of BWD_TILE), so slicing to this pass's padding aligns tiles
+        kern = functools.partial(_bwd_kernel_stored, spec)
+        operands = (xp, packed["w0"], packed["w_mid"], packed["w_skip"],
+                    acts[:, :n_pad, :], gp)
+        in_specs.append(
+            pl.BlockSpec((L, tile, F), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        scratch = [pltpu.VMEM((L, tile, F), x.dtype)]  # post-activations
+    else:
+        kern = functools.partial(_bwd_kernel, spec)
+        operands = (xp, packed["w0"], packed["w_mid"], packed["w_skip"],
+                    packed["b"], gp)
+        in_specs.append(pl.BlockSpec((L, F), const2,
+                                     memory_space=pltpu.VMEM))
+        scratch = [
+            pltpu.VMEM((L, tile, F), x.dtype),  # stashed pre-activations
+            pltpu.VMEM((L, tile, F), x.dtype),  # stashed post-activations
+        ]
+    in_specs.append(pl.BlockSpec((tile, F), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
     gx, gw0, gwmid, gwskip, gb = pl.pallas_call(
         kern,
         grid=(n_pad // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, F), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L - 1, F, F), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.n_skip, LANE, F), const3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, F), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, F), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -412,15 +462,12 @@ def _fused_trunk_bwd(spec, interpret, res, g):
             jax.ShapeDtypeStruct((spec.n_skip, LANE, F), jnp.float32),
             jax.ShapeDtypeStruct((L, F), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((L, tile, F), x.dtype),  # stashed pre-activations
-            pltpu.VMEM((L, tile, F), x.dtype),  # stashed post-activations
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(xp, packed["w0"], packed["w_mid"], packed["w_skip"], packed["b"], gp)
+    )(*operands)
 
     c = x.shape[1]
     gx = gx[:n, :c]

@@ -288,6 +288,26 @@ def resolve_trunk_impl(p) -> str:
     return "xla"
 
 
+def resolve_trunk_bwd(p) -> str:
+    """Resolve ``trunk_bwd="auto"`` for the pallas engine.
+
+    "stored" (forward writes trunk pre-activations to HBM, the VJP
+    consumes them — skips the backward's L recompute GEMMs) is only
+    viable while one dispatch's activations fit in HBM, the same
+    boundary as resolve_trunk_impl; beyond it the recompute backward is
+    the whole point of the kernel. Measurement-gated: "auto" stays
+    "recompute" until the stored variant shows a chip-measured win
+    (docs/performance.md "hybrid backward").
+    """
+    bwd = getattr(p, "trunk_bwd", "recompute")
+    if bwd != "auto":
+        return bwd
+    rays = p.batch_size // max(getattr(p, "grad_accum", 1), 1)
+    if rays * p.n_samples > 8192 * 64:
+        return "recompute"  # activations exceed HBM; stored can't apply
+    return "recompute"  # pending chip measurement of the stored variant
+
+
 def resolve_sin_impl(p) -> str:
     """Resolve ``sin_impl="auto"`` to the quality-safe sine kernel.
 
@@ -332,6 +352,7 @@ def step_config_from_main(
         siren=p.activation_function == "siren",
         sin_impl=resolve_sin_impl(p),
         trunk_impl=resolve_trunk_impl(p),
+        trunk_bwd=resolve_trunk_bwd(p),
         mapping=p.use_mapping,
         mapping_pos_n_freq=p.mapping_pos_n_freq,
         mapping_dir_n_freq=p.mapping_dir_n_freq,

@@ -139,6 +139,83 @@ class TestFusedTrunkBackward:
         assert np.all(np.isfinite(np.asarray(flat)))
 
 
+class TestStoredBackward:
+    """trunk_bwd="stored": the forward emits pre-activation residuals to
+    HBM and the VJP consumes them instead of recomputing — the gradients
+    must match the recompute engine to float tolerance (both read the
+    same compute-dtype pre-activations)."""
+
+    @pytest.mark.parametrize("n", [700, 512, 130])
+    def test_fused_trunk_stored_equals_recompute(self, n):
+        # n=700 exercises the FWD_TILE=512 padding vs BWD_TILE=256
+        # padding mismatch (acts sliced to the backward's row padding)
+        cfg = FieldConfig(variant="satnerf", siren=True, layers=3, feat=128,
+                          skips=(1,), mapping=True)
+        spec_r = TrunkSpec(layers=3, feat=128, skips=(1,), c_in=cfg.xyz_in)
+        spec_s = dataclasses.replace(spec_r, bwd="stored")
+        params = init_field_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (n, cfg.xyz_in),
+                               minval=-1.0, maxval=1.0)
+
+        def loss(spec):
+            def f(trunk_params, x):
+                packed = pack_trunk(trunk_params, spec, jnp.float32)
+                return jnp.sum(fused_trunk(spec, True, x, packed) ** 2)
+            return f
+
+        vr, gr = jax.value_and_grad(loss(spec_r), argnums=(0, 1))(
+            params["trunk"], x
+        )
+        vs, gs = jax.value_and_grad(loss(spec_s), argnums=(0, 1))(
+            params["trunk"], x
+        )
+        assert float(abs(vr - vs)) < 1e-5 * abs(float(vr))
+        fr, _ = ravel_pytree(gr)
+        fs, _ = ravel_pytree(gs)
+        np.testing.assert_allclose(np.asarray(fr), np.asarray(fs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_field_stored_equals_recompute(self):
+        base = dict(
+            variant="rs_semantic", siren=True, layers=2, feat=128,
+            skips=(1,), mapping=True, n_classes=5, trunk_impl="pallas",
+        )
+        cfg_r = FieldConfig(trunk_bwd="recompute", **base)
+        cfg_s = FieldConfig(trunk_bwd="stored", **base)
+        params = init_field_params(jax.random.PRNGKey(0), cfg_r)
+        xyz, sun_d, t_emb = _inputs(jax.random.PRNGKey(1), 320, cfg_r)
+
+        def loss(cfg):
+            def f(p, x):
+                o = field_forward(p, cfg, x, sun_d=sun_d, t_emb=t_emb)
+                return sum(jnp.sum(v ** 2) for v in o.values())
+            return f
+
+        gr = jax.grad(loss(cfg_r), argnums=(0, 1))(params, xyz)
+        gs = jax.grad(loss(cfg_s), argnums=(0, 1))(params, xyz)
+        fr, _ = ravel_pytree(gr)
+        fs, _ = ravel_pytree(gs)
+        np.testing.assert_allclose(np.asarray(fr), np.asarray(fs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_stored_eval_path_emits_no_residuals(self):
+        # the primal (non-differentiated) call of a stored-mode spec must
+        # not allocate the (L, N, F) activation output
+        cfg = FieldConfig(variant="satnerf", siren=True, layers=2, feat=128,
+                          skips=(1,), mapping=True)
+        spec_s = TrunkSpec(layers=2, feat=128, skips=(1,), c_in=cfg.xyz_in,
+                           bwd="stored")
+        params = init_field_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, cfg.xyz_in))
+        packed = pack_trunk(params["trunk"], spec_s, jnp.float32)
+        out = fused_trunk(spec_s, True, x, packed)
+        assert out.shape == (64, 128)
+        # and it matches the recompute-spec primal exactly (same program)
+        spec_r = dataclasses.replace(spec_s, bwd="recompute")
+        out_r = fused_trunk(spec_r, True, x, packed)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+
+
 class TestPackTrunk:
     def test_pack_shapes(self):
         cfg = FieldConfig(
