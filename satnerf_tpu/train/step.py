@@ -295,17 +295,22 @@ def resolve_trunk_bwd(p) -> str:
     consumes them — skips the backward's L recompute GEMMs) is only
     viable while one dispatch's activations fit in HBM, the same
     boundary as resolve_trunk_impl; beyond it the recompute backward is
-    the whole point of the kernel. Measurement-gated: "auto" stays
-    "recompute" until the stored variant shows a chip-measured win
-    (docs/performance.md "hybrid backward").
+    the whole point of the kernel. Chip-measured 2026-08-18 at the
+    flagship 8192 bf16 config (docs/performance.md "hybrid backward"):
+    stored 191.7 ms/step vs recompute 204.2 — a 12.5 ms win, closing the
+    engine race with XLA's own stored-activation backward to ~1 ms. f32
+    doubles the residual bytes (would exceed HBM at the same boundary)
+    and is unmeasured, so "auto" keeps recompute there.
     """
     bwd = getattr(p, "trunk_bwd", "recompute")
     if bwd != "auto":
         return bwd
+    if getattr(p, "compute_dtype", "float32") != "bfloat16":
+        return "recompute"
     rays = p.batch_size // max(getattr(p, "grad_accum", 1), 1)
     if rays * p.n_samples > 8192 * 64:
         return "recompute"  # activations exceed HBM; stored can't apply
-    return "recompute"  # pending chip measurement of the stored variant
+    return "stored"
 
 
 def resolve_sin_impl(p) -> str:

@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--units", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument(
+        "--sin-impl", default="poly",
+        help="SIREN sine kernel for training AND eval (poly|poly5|poly7f|"
+             "exact); drives the paired-seed sine quality-gate runs "
+             "(docs/performance.md 'degree-5 sine')",
+    )
     ap.add_argument("--steps-per-dispatch", type=int, default=4)
     ap.add_argument(
         "--eval-at", default="",
@@ -82,6 +88,7 @@ def main(argv=None):
         car_reg_loss_start=3,
         lambda_c=1.0,
         compute_dtype=args.dtype,
+        sin_impl=args.sin_impl,
     )
     cfg = MainConfig(run, pipe)
     pipeline = load_pipeline(cfg)
