@@ -200,6 +200,34 @@ def test_trunk_impl_auto_resolves_measured_engine_trade():
     assert scfg.render.field.trunk_impl == "pallas"
 
 
+def test_trunk_bwd_auto_resolves_stored_when_activations_fit():
+    """"auto" picks the chip-measured pallas backward (2026-08-18, 8192 bf16:
+    stored 191.7 ms/step vs recompute 204.2): "stored" while one bf16
+    dispatch's activations fit HBM (<= 8192x64 points), "recompute" beyond
+    that boundary and for f32 (double-width residuals, unmeasured)."""
+    from satnerf_tpu.configs import RSSemanticConfig
+    from satnerf_tpu.train.step import resolve_trunk_bwd
+
+    def pipe(**over):
+        kw = dict(
+            trunk_bwd="auto", n_samples=64, batch_size=8192,
+            compute_dtype="bfloat16",
+        )
+        kw.update(over)
+        return RSSemanticConfig(**kw)
+
+    assert resolve_trunk_bwd(pipe()) == "stored"
+    assert resolve_trunk_bwd(pipe(batch_size=16384)) == "recompute"
+    assert resolve_trunk_bwd(pipe(batch_size=32768, grad_accum=4)) == "stored"
+    assert resolve_trunk_bwd(pipe(compute_dtype="float32")) == "recompute"
+    # explicit settings pass through untouched
+    assert resolve_trunk_bwd(pipe(trunk_bwd="recompute")) == "recompute"
+    assert (
+        resolve_trunk_bwd(pipe(trunk_bwd="stored", compute_dtype="float32"))
+        == "stored"
+    )
+
+
 def test_sin_impl_auto_resolves_quality_safe():
     """"auto" -> the degree-7 kernel for every dtype (poly5 measured a
     consistent DSM-MAE cost and stays opt-in); explicit values pass
