@@ -76,10 +76,17 @@ def main(argv=None):
     rows = []
     for run_dp in args.run_dps:
         name = os.path.basename(run_dp.rstrip("/"))
-        # run dirs are nested under training_*/<stamp>_...; use the parent
-        # dir name (which encodes the trained engine) when it is clearer
-        parent = os.path.basename(os.path.dirname(run_dp.rstrip("/")))
-        label = parent if parent.startswith("training_") else name
+        # run dirs are nested under <harness-out>/training/<stamp>_...; walk
+        # up past the generic "training" level so the label carries the
+        # harness out-dir name (which encodes the trained engine + seed)
+        parent_dp = os.path.dirname(run_dp.rstrip("/"))
+        parent = os.path.basename(parent_dp)
+        if parent == "training":
+            label = os.path.basename(os.path.dirname(parent_dp))
+        elif parent.startswith("training_"):
+            label = parent
+        else:
+            label = name
         for sin in args.sins.split(","):
             out_dp = os.path.join(args.out, f"{label}__{sin}")
             r = eval_run_with_sin(run_dp, sin, args.split, out_dp)
