@@ -2,9 +2,14 @@
 
 ref: data_prep/processing/step_bundle_adjustment.py:14-115 — the reference
 drives the external sat-bundleadjust/s2p pipeline. That toolchain is not in
-this image, so three modes exist:
+this image, so four modes exist:
 
 * ``external``: use sat_bundleadjust when importable (full reference parity);
+* ``native``: the in-repo bundle adjustment (``satnerf_tpu.data_prep.ba``:
+  Harris corners -> RPC-locus-guided ZNCC tracks -> Gauss-Newton
+  triangulation + per-view RPC bias adjustment) — no external toolchain,
+  writes the identical output contract and feeds it through the same
+  import path as ``precomputed``;
 * ``precomputed``: take pts3d/keypoints from a user-provided directory;
 * ``dsm`` (default fallback): sample tie points from the GT lidar DSM and
   project them through each view's RPC — geometrically equivalent supervision
@@ -48,6 +53,8 @@ class ProcessingStep(ProcessingStepBase):
         logger.info("DataPrep", f"bundle adjustment mode: {mode}")
         if mode == "external":
             self._run_external(cfg, state)
+        elif mode == "native":
+            self._run_native(cfg, state)
         elif mode == "precomputed":
             self._copy_precomputed(cfg, state)
         else:
@@ -82,7 +89,40 @@ class ProcessingStep(ProcessingStepBase):
         A flat directory containing only ``pts3d.npy`` is also accepted for
         fixtures that pre-distributed keypoints into the metas themselves.
         """
-        src_dp = self.step_cfg.params["precomputed_dp"]
+        self._import_ba_dir(self.step_cfg.params["precomputed_dp"], state)
+
+    # -- in-repo native bundle adjustment -----------------------------------
+    def _run_native(self, cfg, state):
+        """Run ``satnerf_tpu.data_prep.ba`` over the cropped views and feed
+        its output through the same import path as ``precomputed`` (so the
+        contract round-trips through one code path)."""
+        from satnerf_tpu.data_prep.ba import run_native_ba, to_gray
+
+        names, grays, rpcs, paths = [], [], [], []
+        alt_lo, alt_hi = np.inf, -np.inf
+        for name in state["image_names"]:
+            meta = read_json(os.path.join(state["metas_dp"], name + ".json"))
+            img_fp = os.path.join(state["image_dp"], meta.get("img", name + ".tif"))
+            img, _ = read_geotiff(img_fp)
+            names.append(name)
+            grays.append(to_gray(img))
+            rpcs.append(RPCModel.from_dict(meta["rpc"]))
+            paths.append(img_fp)
+            alt_lo = min(alt_lo, meta["min_alt"])
+            alt_hi = max(alt_hi, meta["max_alt"])
+
+        ba_out_dp = os.path.join(cfg.general.output_dp, "ba_native")
+        p = self.step_cfg.params
+        stats = run_native_ba(
+            names, grays, rpcs, paths, (alt_lo, alt_hi), ba_out_dp,
+            n_corners=int(p.get("n_corners", 1200)),
+            zncc_min=float(p.get("zncc_min", 0.80)),
+            locus_tol=float(p.get("locus_tol", 3.0)),
+        )
+        write_json(os.path.join(ba_out_dp, "ba_stats.json"), stats)
+        self._import_ba_dir(ba_out_dp, state)
+
+    def _import_ba_dir(self, src_dp, state):
         ba_params_dp = os.path.join(src_dp, "ba_params")
         if not os.path.isdir(ba_params_dp):
             pts3d = np.load(os.path.join(src_dp, "pts3d.npy"))

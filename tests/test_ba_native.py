@@ -1,0 +1,279 @@
+"""Native bundle adjustment (satnerf_tpu/data_prep/ba.py).
+
+The reference's BA step shells out to the external sat-bundleadjust stack
+(ref: data_prep/processing/step_bundle_adjustment.py:14-115); the native
+module reproduces its pipeline (tracks -> triangulation -> RPC bias
+adjustment) and its output contract in-repo. These tests validate the
+geometry on synthetic scenes with known ground truth:
+
+* on unperturbed RPCs the solution must stay put (near-zero biases, small
+  absolute drift, sub-pixel reprojection);
+* with injected per-view RPC biases, the recoverable quantity is the bias
+  field MODULO the gauge (a rigid translation of the point cloud maps to
+  per-view shifts J_v @ delta through each view's ground->image Jacobian —
+  image matches alone cannot fix the absolute frame, same as the real
+  toolchain), so the assertion projects that component out;
+* the step-level mode="native" produces a dataset whose depth supervision
+  loads end to end.
+"""
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from satnerf_tpu.data_prep.ba import run_native_ba, to_gray
+from satnerf_tpu.datasets.synthetic import generate_scene
+from satnerf_tpu.geo.ellipsoid import ecef_to_latlon
+from satnerf_tpu.geo.rpc import RPCModel
+from satnerf_tpu.geo.utm import utm_from_latlon
+from satnerf_tpu.io.json_io import read_json
+from satnerf_tpu.io.tiff import read_geotiff
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    dp = str(tmp_path_factory.mktemp("ba") / "SYN_BA")
+    generate_scene(dp, n_train=4, n_test=0, img_size=96, n_tie_points=50)
+    return dp
+
+
+def _load_views(scene_dp, inject=None):
+    metas = sorted(glob.glob(os.path.join(scene_dp, "metas", "*.json")))
+    names, grays, rpcs, paths = [], [], [], []
+    lo, hi = np.inf, -np.inf
+    for i, fp in enumerate(metas):
+        m = read_json(fp)
+        img, _ = read_geotiff(os.path.join(scene_dp, "images", m["img"]))
+        rpc = RPCModel.from_dict(m["rpc"])
+        if inject is not None:
+            rpc = dataclasses.replace(
+                rpc,
+                col_offset=rpc.col_offset + inject[i, 0],
+                row_offset=rpc.row_offset + inject[i, 1],
+            )
+        names.append(m["img"][:-4])
+        grays.append(to_gray(img))
+        rpcs.append(rpc)
+        paths.append("/crops/" + m["img"])
+        lo, hi = min(lo, m["min_alt"]), max(hi, m["max_alt"])
+    return names, grays, rpcs, paths, (lo, hi)
+
+
+def _alt_error_vs_gt(scene_dp, pts3d):
+    lat, lon, alt = ecef_to_latlon(pts3d[:, 0], pts3d[:, 1], pts3d[:, 2])
+    dsm, prof = read_geotiff(
+        glob.glob(os.path.join(scene_dp, "*_DSM.tif"))[0]
+    )
+    e, n, _ = utm_from_latlon(lat, lon)
+    c, r = prof.xy_to_pixel(e, n)
+    ci = np.clip(np.round(c).astype(int), 0, dsm.shape[2] - 1)
+    ri = np.clip(np.round(r).astype(int), 0, dsm.shape[1] - 1)
+    return alt - dsm[0, ri, ci]
+
+
+def test_unperturbed_scene_recovers_geometry(scene, tmp_path):
+    names, grays, rpcs, paths, alt_range = _load_views(scene)
+    stats = run_native_ba(
+        names, grays, rpcs, paths, alt_range, str(tmp_path / "ba")
+    )
+    assert stats["n_tracks"] >= 10
+    assert stats["mean_reproj_px"] < 1.0
+    bias = np.asarray(stats["bias_px"])
+    assert np.abs(bias).max() < 0.8  # true correction is zero
+
+    # contract files: shapes + index consistency + adjusted-RPC round trip
+    ba = str(tmp_path / "ba" / "ba_params")
+    pts3d = np.load(os.path.join(ba, "pts3d.npy"))
+    pts2d = np.load(os.path.join(ba, "pts2d.npy"))
+    cam_ind = np.load(os.path.join(ba, "cam_ind.npy"))
+    pts_ind = np.load(os.path.join(ba, "pts_ind.npy"))
+    assert pts3d.shape[1] == 3 and pts2d.shape == (len(cam_ind), 2)
+    assert pts_ind.max() < len(pts3d) and cam_ind.max() < len(names)
+    with open(os.path.join(ba, "geotiff_paths.txt")) as f:
+        assert len([ln for ln in f if ln.strip()]) == len(names)
+    adj = RPCModel.from_rpc_file(
+        os.path.join(tmp_path, "ba", "rpcs_adj", names[0] + ".rpc_adj")
+    )
+    np.testing.assert_allclose(adj.col_offset, rpcs[0].col_offset + bias[0, 0])
+
+    # absolute frame: the minimal-norm gauge keeps the cloud near truth
+    signed = _alt_error_vs_gt(scene, pts3d)
+    assert abs(np.median(signed)) < 3.0
+
+
+def _gauge_residual(rpcs, p0, bias, inject):
+    """Remove the best-fit global-translation gauge component from
+    ``bias + inject`` (a rigid cloud shift delta maps to J_v @ delta per
+    view); what is left is the solver's genuine inconsistency."""
+    steps = np.array([1e-6, 1e-6, 1.0])
+    J = np.zeros((len(rpcs), 2, 3))
+    for v, rpc in enumerate(rpcs):
+        for k in range(3):
+            d = np.zeros(3)
+            d[k] = steps[k]
+            cp, rp = rpc.projection(*(p0 + d))
+            cm, rm = rpc.projection(*(p0 - d))
+            J[v, :, k] = [
+                (cp - cm) / (2 * steps[k]),
+                (rp - rm) / (2 * steps[k]),
+            ]
+    e = bias + inject
+    delta, *_ = np.linalg.lstsq(J.reshape(-1, 3), e.reshape(-1), rcond=None)
+    return e - (J @ delta), delta
+
+
+def test_solver_recovers_injected_bias_modulo_gauge(scene):
+    """Geometry solver in isolation (synthetic observations, no image
+    matching): with per-view biases injected into the cameras, the solved
+    biases must equal the injected ones up to the translation gauge, to
+    well under the observation noise."""
+    import satnerf_tpu.data_prep.ba as B
+
+    _, _, rpcs_true, _, alt_range = _load_views(scene)
+    inject = np.array(
+        [[0.0, 0.0], [1.7, -2.3], [-2.1, 0.9], [0.8, 1.4]]
+    )
+    rpcs = [
+        dataclasses.replace(
+            r,
+            col_offset=r.col_offset + inject[v, 0],
+            row_offset=r.row_offset + inject[v, 1],
+        )
+        for v, r in enumerate(rpcs_true)
+    ]
+    rng = np.random.default_rng(0)
+    T = 120
+    r0 = rpcs_true[0]
+    lon = r0.lon_offset + rng.uniform(-0.7, 0.7, T) * r0.lon_scale
+    lat = r0.lat_offset + rng.uniform(-0.7, 0.7, T) * r0.lat_scale
+    alt = rng.uniform(alt_range[0] + 5, alt_range[1] - 5, T)
+    obs = B._project_all(rpcs_true, lon, lat, alt, None)
+    obs += rng.normal(0, 0.3, obs.shape)  # matching-like white noise
+    mask = np.ones((T, len(rpcs)), bool)
+
+    tracks = [dict(zip(range(len(rpcs)), map(tuple, o))) for o in obs]
+    pts0, obs_t, mask_t = B.triangulate_tracks(tracks, rpcs, alt_range)
+    pts, bias, mask2, res = B.bundle_adjust(rpcs, pts0, obs_t, mask_t)
+    assert float(res[mask2].mean()) < 0.45  # ~ the injected noise level
+
+    resid, delta = _gauge_residual(
+        rpcs, np.array([lon.mean(), lat.mean(), alt.mean()]), bias, inject
+    )
+    assert np.abs(resid).max() < 0.2, (resid, delta)
+    # and the point cloud drifted by exactly that gauge choice
+    assert abs(float((pts[:, 2] - alt).mean()) + delta[2]) < 0.5
+
+
+def test_injected_bias_end_to_end_stays_self_consistent(scene, tmp_path):
+    """Full image pipeline with injected camera biases. The matcher itself
+    carries a per-view-pair systematic of ~1 px on this scene (ZNCC patch
+    centers shift under each view's different sun shading), so the
+    bias decomposition is asserted at that fidelity; the solution must
+    remain sub-pixel self-consistent regardless (which is what the depth
+    supervision consumes: points + adjusted cameras)."""
+    inject = np.array(
+        [[0.0, 0.0], [1.7, -2.3], [-2.1, 0.9], [0.8, 1.4]]
+    )
+    names, grays, rpcs, paths, alt_range = _load_views(scene, inject)
+    stats = run_native_ba(
+        names, grays, rpcs, paths, alt_range, str(tmp_path / "ba")
+    )
+    assert stats["mean_reproj_px"] < 1.0  # self-consistent solution
+    bias = np.asarray(stats["bias_px"])
+
+    pts3d = np.load(os.path.join(tmp_path, "ba", "ba_params", "pts3d.npy"))
+    lat, lon, alt = ecef_to_latlon(pts3d[:, 0], pts3d[:, 1], pts3d[:, 2])
+    resid, _ = _gauge_residual(
+        rpcs, np.array([np.mean(lon), np.mean(lat), np.mean(alt)]), bias,
+        inject,
+    )
+    assert np.abs(resid).max() < 1.8, resid
+
+
+def test_step_mode_native_feeds_depth_supervision(tmp_path):
+    """mode='native' through the step driver: root.json + keypoints + a
+    loadable DepthDataset (the BA output's actual downstream consumer)."""
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.data_prep.create_dataset import create_dataset
+    from satnerf_tpu.data_prep.dataset_config import (
+        DatasetConfig,
+        GeneralConfig,
+        StepConfig,
+    )
+    from satnerf_tpu.datasets import DepthDataset, SatNeRFDataset
+
+    base = tmp_path / "raw"
+    syn = base / "syn"
+    generate_scene(str(syn), n_train=3, n_test=0, img_size=96,
+                   aoi_name="JAX_068")
+    import shutil
+
+    rgb_dp = base / "Track3-RGB"
+    truth_dp = base / "Track3-Truth"
+    meta_dp = base / "Track3-Metadata" / "JAX"
+    for dp in (rgb_dp, truth_dp, meta_dp):
+        os.makedirs(dp, exist_ok=True)
+    for fp in sorted(glob.glob(str(syn / "images" / "*.tif"))):
+        shutil.copy(fp, rgb_dp / os.path.basename(fp))
+    for suffix in ("DSM.tif", "CLS.tif", "DSM.txt"):
+        shutil.copy(str(syn / f"JAX_068_{suffix}"), truth_dp)
+    for meta_fp in sorted(glob.glob(str(syn / "metas" / "*.json"))):
+        meta = read_json(meta_fp)
+        idx = os.path.basename(meta_fp)[:-5]
+        nn = idx[idx.find("_RGB") - 2 : idx.find("_RGB")]
+        with open(meta_dp / f"{nn}.IMD", "w") as f:
+            f.write(
+                f'\tmeanSunAz = {meta["sun_azimuth"]:.2f};\n'
+                f'\tmeanSunEl = {meta["sun_elevation"]:.2f};\n'
+                '\tTLCTime = "20-03-15T15:30:00.000000Z";\n'
+            )
+
+    out_dp = str(tmp_path / "JAX_068")
+    cfg = DatasetConfig(
+        general=GeneralConfig(
+            aoi_name="JAX_068",
+            dfc_rgb_dp=str(rgb_dp),
+            dfc_truth_dp=str(truth_dp),
+            dfc_metadata_dp=str(base / "Track3-Metadata"),
+            output_dp=out_dp,
+            zone_string="17R",
+            split_mode="fixed",
+            n_test=1,
+        ),
+        steps=[
+            StepConfig(file="adapter_dfc2019"),
+            StepConfig(file="step_bundle_adjustment",
+                       params={"mode": "native"}),
+            StepConfig(file="step_create_root_file"),
+        ],
+    )
+    create_dataset(cfg)
+
+    root = read_json(os.path.join(out_dp, "root.json"))
+    assert "points3d_fp" in root
+    stats = read_json(os.path.join(out_dp, "ba_native", "ba_stats.json"))
+    assert stats["n_tracks"] >= 10 and stats["mean_reproj_px"] < 1.0
+    meta = read_json(os.path.join(out_dp, "metas", root["train_split"][0]))
+    assert len(meta["keypoints"]["2d_coordinates"]) > 0
+
+    run = RunConfig(
+        dataset_name="JAX_068",
+        datasets_dp=str(tmp_path),
+        cache_dp=str(tmp_path / "cache"),
+        workspace_dp=str(tmp_path / "ws"),
+    )
+    mcfg = MainConfig(run, RSSemanticConfig())
+    rgb = SatNeRFDataset(mcfg, "rgb", "train")
+    rgb.load()
+    rgb.initialize_normalization(rgb.combined["rays"])
+    rgb.save_to_cache()
+    depth = DepthDataset(mcfg, "depth", "train")
+    depth.initialize_normalization()
+    depth.load()
+    d = depth.combined
+    assert d["rays"].shape[0] > 0
+    assert np.isfinite(d["depths"]).all() and np.isfinite(d["weights"]).all()
+    assert d["weights"].min() >= 0 and d["weights"].max() <= 1.0 + 1e-6
