@@ -27,6 +27,17 @@ steps/step_bundle_adjustment.py:_copy_precomputed):
 
 Everything runs in float64 numpy: the geometry solve is host-side data
 preparation (as in the reference), and raw lon/lat magnitudes need f64.
+
+Measured accuracy envelope (synthetic 4-view scenes, tests/test_ba_native.py):
+the geometry solver recovers injected per-view camera biases to < 0.2 px
+modulo the translation gauge; end-to-end, patch matching itself carries a
+~1 px per-view-pair systematic (view-dependent parallax distortion of the
+patches — a high-pass pre-filter was measured to make it worse: 0.97 ->
+1.41 px gauge residual at 144², while reprojection improved 0.59 -> 0.37 px),
+which bounds the achievable bias decomposition the same way descriptor
+localisation bounds SIFT-based BA. The delivered solution is sub-pixel
+self-consistent (points + adjusted cameras), which is what depth
+supervision consumes.
 """
 
 from __future__ import annotations
