@@ -73,7 +73,10 @@ def main(argv=None):
         cache_dp=os.path.join(args.out_dp, "cache"),
         workspace_dp=os.path.join(args.out_dp, "training"),
         max_train_steps=args.steps,
-        check_val_every_n_epoch=10,
+        # sparse validation: on the 256^2 quality scenes each validation
+        # renders the full test split (~3 min on a contended host), and the
+        # harness runs its own full eval at the end anyway
+        check_val_every_n_epoch=int(os.environ.get("SATNERF_VAL_EVERY", 40)),
         num_sanity_val_steps=0,
         seed=args.seed,
         steps_per_dispatch=args.steps_per_dispatch,
