@@ -50,18 +50,21 @@ def test_simulated_outage_internal_deadline():
         [sys.executable, "-c", DRIVER_CALL.format(n=2)],
         cwd=REPO,
         env=_driver_env(
-            SATNERF_DRYRUN_TEST_HANG="30", SATNERF_DRYRUN_DEADLINE="6"
+            # deadline must exceed worst-case -S child STARTUP under heavy
+            # CPU contention (observed >6 s with concurrent torch training
+            # on this 1-core host) while staying far below the hang length
+            SATNERF_DRYRUN_TEST_HANG="90", SATNERF_DRYRUN_DEADLINE="25"
         ),
         capture_output=True,
         text=True,
-        timeout=120,
+        timeout=180,
     )
     out = proc.stdout + proc.stderr
     assert proc.returncode != 0
     assert "dryrun_multichip(2): start" in out
     assert "test-hang engaged" in out  # child's partial output was streamed
     assert "internal deadline" in out
-    assert "timed out after 6s" in out
+    assert "timed out after 25s" in out
 
 
 def test_simulated_outage_parent_killed():
