@@ -9,6 +9,15 @@ configuration (sc pass dropped — no eval/viz/serve consumer reads its
 outputs, eval/loader.py) and folds rgb/depth/semantic sums into the carry
 so no output can be dead-code-eliminated.
 
+HOIST HAZARD (learned the hard way, 2026-08-18): if the scan body is
+loop-invariant (same rays/params every iteration), XLA's loop-invariant
+code motion hoists the ENTIRE render out of the loop and the "per-chunk"
+time measures one render plus 50 scalar adds (~25x optimistic: 0.93 ms vs
+the honest ~24 ms). The carry must feed back into the render's inputs:
+each iteration perturbs the ray tensor by acc*1e-30 — numerically a no-op
+(ray coords are O(1)) but a true serial data dependence, so every
+iteration must execute the full field evaluation.
+
 Env knobs: SATNERF_RENDER_SIN (poly|poly5|poly7f|exact), SATNERF_RENDER_SC=1
 to keep the solar-correction outputs, SATNERF_RENDER_DTYPE,
 SATNERF_RENDER_CHUNK, and SATNERF_RENDER_SCAN (scan length).
@@ -62,7 +71,11 @@ def main() -> None:
 
     def many_chunks(params, rays, extras):
         def body(acc, _):
-            res = render_rays(params, rcfg, rays, extras, key=None)
+            # Loop-carried dependence: without this XLA hoists the render
+            # out of the scan (see module docstring). acc*1e-30 is far below
+            # f32 ulp of O(1) ray coords — a numeric no-op, a real dependence.
+            rays_i = rays + (acc * jnp.float32(1e-30)).astype(rays.dtype)
+            res = render_rays(params, rcfg, rays_i, extras, key=None)
             acc = (
                 acc
                 + jnp.sum(res["rgb"].astype(jnp.float32))
