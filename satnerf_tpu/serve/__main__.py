@@ -3,10 +3,11 @@
 
 --platform pins the JAX backend before initialisation (needed where a
 site-installed PJRT plugin overrides the JAX_PLATFORMS env var).
---fast-sine 1 renders with the degree-5 sine kernel (~6% faster;
-PSNR-neutral, so served RGB is unaffected — but served DEPTH carries the
-measured ~0.9 m poly5 altitude bias; see docs/performance.md). Leave it
-off when clients consume /render output=depth or arrays depth_f16_b64."""
+--fast-sine 1 renders with the degree-5 sine kernel (~7% faster). The
+sine-swap study (docs/performance.md "quality gate") measured eval-time
+engine swap as metric-free on trained checkpoints — RGB and depth both —
+so the flag is safe for all served outputs; the ~0.9 m poly5 altitude
+bias arises only when TRAINING with poly5."""
 
 from __future__ import annotations
 
