@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import multiprocessing
 import os
+import sys
 import time
 
 import numpy as np
@@ -72,6 +73,19 @@ assert SIN_IMPL in ("poly", "poly5", "poly7f", "exact"), (
     f"SATNERF_BENCH_SIN={SIN_IMPL!r}: use poly, poly5, poly7f, exact, or auto"
 )
 TRUNK_BWD = os.environ.get("SATNERF_BENCH_BWD", "recompute")
+if TRUNK_BWD == "auto":  # resolve like models/field.py: stored at 8192/bf16
+    TRUNK_BWD = "stored" if BATCH_SIZE <= 8192 else "recompute"
+assert TRUNK_BWD in ("recompute", "stored"), (
+    f"SATNERF_BENCH_BWD={TRUNK_BWD!r}: use recompute, stored, or auto"
+)
+if TRUNK_IMPL != "pallas" and TRUNK_BWD != "recompute":
+    # trunk_bwd only selects the Pallas kernel's VJP; on the XLA trunk it
+    # is ignored — normalise so the config label never records a knob the
+    # measured program didn't use.
+    print(f"bench: SATNERF_BENCH_BWD={TRUNK_BWD} ignored with "
+          f"SATNERF_BENCH_IMPL={TRUNK_IMPL} (pallas-only knob)",
+          file=sys.stderr)
+    TRUNK_BWD = "recompute"
 CONFIG_DESC = (
     f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16"
     + ("" if SIN_IMPL == "poly" else f"/{SIN_IMPL}")

@@ -165,10 +165,18 @@ def match_pair(
     lc = lc.reshape(len(corners_a), n_alts)
     lr = lr.reshape(len(corners_a), n_alts)
 
-    # distance of each B corner to each A locus (min over altitudes)
-    dc = lc[:, None, :] - corners_b[None, :, 0:1]
-    dr = lr[:, None, :] - corners_b[None, :, 1:2]
-    near = (dc * dc + dr * dr).min(axis=2) <= locus_tol * locus_tol
+    # distance of each B corner to each A locus (min over altitudes).
+    # Fold the min over altitude slices instead of materialising the
+    # (N_a, N_b, n_alts) temporaries: at the 1200-corner/16-alt defaults
+    # the broadcast form peaks ~0.5 GB per view pair; this is ~23 MB.
+    cb = corners_b[:, 0].astype(np.float64)
+    rb = corners_b[:, 1].astype(np.float64)
+    min_d2 = np.full((len(corners_a), len(corners_b)), np.inf)
+    for k in range(n_alts):
+        dc = lc[:, k : k + 1] - cb[None, :]
+        dr = lr[:, k : k + 1] - rb[None, :]
+        np.minimum(min_d2, dc * dc + dr * dr, out=min_d2)
+    near = min_d2 <= locus_tol * locus_tol
 
     pa = _patches(gray_a, corners_a, patch_half)
     pb = _patches(gray_b, corners_b, patch_half)

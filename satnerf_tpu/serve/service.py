@@ -79,13 +79,20 @@ class RenderService:
     def resolve_meta(self, view, allow_paths: bool = True) -> dict:
         """View name / meta path / meta dict -> meta dict.
 
-        ``allow_paths=False`` (used by the HTTP front-end) restricts string
-        views to plain names resolving inside the dataset's meta dir, so a
-        remote client cannot probe arbitrary filesystem JSON via view names
-        like ``"../../etc/foo"`` or absolute paths. The path and dict forms
+        ``allow_paths=False`` (used by the HTTP front-end) restricts views
+        to plain names resolving inside the dataset's meta dir, so a remote
+        client cannot probe arbitrary filesystem JSON via view names like
+        ``"../../etc/foo"`` / absolute paths, nor post a raw meta dict with
+        an unbounded width x height (a 50000x50000 request would meshgrid
+        2.5e9 rays host-side before any chunking). The path and dict forms
         stay available to the Python API.
         """
         if isinstance(view, dict):
+            if not allow_paths:
+                raise ValueError(
+                    "inline meta dicts are not accepted over HTTP; "
+                    "use a known view name"
+                )
             return view
         if allow_paths and os.path.isfile(str(view)):
             return read_json(str(view))
@@ -94,7 +101,9 @@ class RenderService:
         if os.path.commonpath([meta_root, os.path.realpath(fp)]) != meta_root:
             raise KeyError(f"view name {view!r} escapes the meta directory")
         if not os.path.isfile(fp):
-            raise KeyError(f"unknown view {view!r} (no {fp})")
+            # No fp in the message: it is echoed verbatim in HTTP 400
+            # bodies and would leak the server's on-disk dataset layout.
+            raise KeyError(f"unknown view {view!r}")
         return read_json(fp)
 
     def warmup(self) -> float:

@@ -378,14 +378,18 @@ class Trainer:
 
             if step_callbacks and step_i in step_callbacks:
                 # close the timing interval so callback wall time (e.g. a
-                # full learning-curve eval) never pollutes the train rate
-                if last_metrics is not None:
-                    jax.device_get(last_metrics)  # forces step completion
-                now = time.time()
-                if steps_timed or last_log_step > start_step:
-                    train_time_acc += now - t_last
-                    steps_timed += step_i - last_log_step
-                last_log_step = step_i
+                # full learning-curve eval) never pollutes the train rate.
+                # Skip when the log branch above already closed it at this
+                # exact step: re-fetching costs a second ~250-500 ms tunnel
+                # round trip and would charge the gap to a 0-step interval.
+                if last_log_step != step_i:
+                    if last_metrics is not None:
+                        jax.device_get(last_metrics)  # forces completion
+                    now = time.time()
+                    if steps_timed or last_log_step > start_step:
+                        train_time_acc += now - t_last
+                        steps_timed += step_i - last_log_step
+                    last_log_step = step_i
                 step_callbacks[step_i](state, step_i)
                 t_last = time.time()
 
@@ -401,14 +405,18 @@ class Trainer:
                 # steps since the last log boundary keep their training time
                 # (t_last is re-anchored after validation; without this,
                 # those steps would be counted against a clock that dropped
-                # their interval, inflating the cumulative rate)
-                if last_metrics is not None:
-                    jax.device_get(last_metrics)  # forces step completion
-                now = time.time()
-                if steps_timed or last_log_step > start_step:
-                    train_time_acc += now - t_last
-                    steps_timed += step_i - last_log_step
-                last_log_step = step_i
+                # their interval, inflating the cumulative rate). Skip when
+                # an earlier branch already closed it at this exact step —
+                # the re-fetch is a wasted tunnel round trip charged to a
+                # 0-step interval.
+                if last_log_step != step_i:
+                    if last_metrics is not None:
+                        jax.device_get(last_metrics)  # forces completion
+                    now = time.time()
+                    if steps_timed or last_log_step > start_step:
+                        train_time_acc += now - t_last
+                        steps_timed += step_i - last_log_step
+                    last_log_step = step_i
                 with self.profiler.phase("validate"):
                     val = self.validate(
                         state, scfg_nd, epoch=new_epoch - 1, display_epoch=new_epoch

@@ -126,7 +126,21 @@ def test_http_endpoints(endpoint, service):
 
     status, _, body = _post(endpoint + "/render", {"view": "NO_SUCH_VIEW"})
     assert status == 400
-    assert "NO_SUCH_VIEW" in json.loads(body)["error"]
+    err = json.loads(body)["error"]
+    assert "NO_SUCH_VIEW" in err
+    # the 400 body must not leak the server's on-disk dataset layout
+    assert "/" not in err.replace("NO_SUCH_VIEW", "")
+
+    # inline meta dicts are a Python-API-only form: over HTTP they would
+    # let a remote client request an unbounded-size render (width/height
+    # are meshgridded host-side before chunking) — 400, never a render
+    status, _, body = _post(
+        endpoint + "/render",
+        {"view": {"width": 50000, "height": 50000, "min_alt": 0.0,
+                  "max_alt": 1.0}},
+    )
+    assert status == 400
+    assert "view name" in json.loads(body)["error"]
 
     # remote clients must not be able to probe the filesystem via view
     # names (absolute paths or ../ traversal) — 400, never a file read

@@ -76,12 +76,21 @@ def main(argv=None):
             return sampler.next_batch()
         return np.stack([sampler.next_batch() for _ in range(args.spd)])
 
-    # timed loop: host sampling + sharded device_put, readback-forced
+    # timed loop: host sampling + sharded device_put, readback-forced.
+    # Sync on a rolling window instead of retaining every handle: keeping
+    # all `steps` arrays live until one final block holds ~2 GB at the
+    # defaults and distorts the measurement with allocator pressure, while
+    # a 64-dispatch window still keeps the device queue deep enough to
+    # measure pipelined feed rate rather than per-put latency.
+    window = 64
     t0 = time.time()
     puts = []
     for _ in range(args.steps):
         idx = draw()
         puts.append(jax.device_put(idx, sh))
+        if len(puts) >= window:
+            jax.block_until_ready(puts)
+            puts.clear()
     jax.block_until_ready(puts)
     dt = time.time() - t0
 
