@@ -146,8 +146,24 @@ def compute_mae(
         wm, _ = _crop_to_window(wm_arr[0], wm_prof, ulx, uly, lrx, lry)
         pred[wm == 9] = np.nan  # DFC2019: water class == 9
     if ignore_mask_fp and os.path.isfile(ignore_mask_fp):
+        # The reference (eval/utils/dsm.py:218-220) reads the ignore mask
+        # raw and assumes it is already ROI-sized — typically a plain
+        # non-georeferenced tif, which _crop_to_window cannot handle
+        # (transform=None). Only crop when the mask is georeferenced AND
+        # its size differs from the ROI.
         im_arr, im_prof = read_geotiff(ignore_mask_fp)
-        im, _ = _crop_to_window(im_arr[0], im_prof, ulx, uly, lrx, lry)
+        im = im_arr[0]
+        if im.shape != pred.shape:
+            if im_prof.transform is None:
+                raise ValueError(
+                    f"ignore mask {ignore_mask_fp} is {im.shape}, not the "
+                    f"ROI size {pred.shape}, and carries no geotransform "
+                    "to crop by"
+                )
+            im, _ = _crop_to_window(im, im_prof, ulx, uly, lrx, lry)
+        # _crop_to_window pads with NaN and np.bool_(nan) is True: padding
+        # must mean "keep the pixel", never "ignore it"
+        im = np.nan_to_num(im, nan=0.0)
         pred[im.astype(bool)] = np.nan
 
     transform = dsm_register.compute_shift(gt, pred, scaling=False)

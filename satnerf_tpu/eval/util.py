@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 from satnerf_tpu.configs import read_toml
 from satnerf_tpu.logger import logger
@@ -48,9 +47,17 @@ def expand_input_files_for_experiments(input_dp: str, output_dp: str | None = No
                 os.path.join(input_dp, name, "configs", "pipeline.toml")
             )
         ]
-    output = list(np.sort(output))
-
-    category = extract_experiment_category(output[0]) if output else None
+    # already sorted above; keep plain str paths (np.sort would return
+    # numpy.str_ objects that then leak into run_dp values)
+    if not output:
+        # fail loudly: a typo'd path would otherwise make eval jobs
+        # "succeed" having evaluated nothing (the reference crashes on
+        # output[0] here, util.py:55)
+        raise FileNotFoundError(
+            f"{input_dp} is neither a run dir (ckpoints/) nor an "
+            "experiment dir containing runs with configs/pipeline.toml"
+        )
+    category = extract_experiment_category(output[0])
     if category not in (None, "_") and output_dp is not None and output_dp != input_dp:
         output_dp = os.path.join(output_dp, category)
         os.makedirs(output_dp, exist_ok=True)

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from satnerf_tpu.io.tiff import GeoProfile, read_geotiff, write_geotiff
+from satnerf_tpu.io.tiff import (GeoProfile, read_geotiff,
+                                  read_geotiff_profile, write_geotiff)
 
 
 def load_rgb_tensor(fp: str, downscale_factor: float = 1.0) -> np.ndarray:
@@ -50,7 +51,8 @@ def save_output_image(
         dtype=str(data.dtype), nodata=nodata,
     )
     if source_fp is not None:
-        _, src = read_geotiff(source_fp)
+        # tag-only read: never decompress the source pixels just for tags
+        src = read_geotiff_profile(source_fp)
         profile.transform = src.transform
         profile.epsg = src.epsg
         profile.rpc = src.rpc
@@ -58,14 +60,52 @@ def save_output_image(
 
 
 def _resize_bicubic(img: np.ndarray, factor: float) -> np.ndarray:
-    """Bicubic resize via OpenCV (present in the image) with numpy fallback."""
+    """Bicubic resize via OpenCV (present in the image) with numpy fallback.
+
+    Target size is ``floor(size * factor)`` to match the reference's
+    ``int(w // downscale_factor)`` (img_utils.py:27-29): rounding instead
+    gives a 1-px larger image for odd sizes, desynchronised from the RPC
+    camera rescaled by 1/factor and from the rays grid built on it.
+    """
     h, w = img.shape[:2]
-    new_w, new_h = int(round(w * factor)), int(round(h * factor))
+    new_w, new_h = int(w * factor), int(h * factor)
     try:
         import cv2
 
         return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
     except ImportError:  # pragma: no cover
-        ys = np.clip((np.arange(new_h) / factor).astype(int), 0, h - 1)
-        xs = np.clip((np.arange(new_w) / factor).astype(int), 0, w - 1)
-        return img[ys][:, xs]
+        return _cubic_resize_np(img, new_h, new_w)
+
+
+def _cubic_resize_np(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Separable cubic-convolution resize, pure numpy, for environments
+    without OpenCV. a=-0.75 is the coefficient cv2's INTER_CUBIC and
+    torch's bicubic both use (the reference resizes torch tensors, so
+    this matches the reference kernel as well)."""
+    def kernel(x, a=-0.75):
+        ax = np.abs(x)
+        w = np.where(
+            ax <= 1,
+            (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+            np.where(ax < 2, a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a,
+                     0.0),
+        )
+        return w
+
+    def resize_axis(arr, new_n, axis):
+        n = arr.shape[axis]
+        scale = n / new_n
+        # pixel-center mapping, same convention as cv2.resize
+        centers = (np.arange(new_n) + 0.5) * scale - 0.5
+        base = np.floor(centers).astype(int)
+        offs = np.arange(-1, 3)
+        idx = np.clip(base[:, None] + offs[None, :], 0, n - 1)  # (new_n, 4)
+        wts = kernel(centers[:, None] - (base[:, None] + offs[None, :]))
+        wts /= wts.sum(axis=1, keepdims=True)
+        moved = np.moveaxis(arr, axis, 0)
+        out = np.einsum("ok,ok...->o...", wts, moved[idx])
+        return np.moveaxis(out, 0, axis)
+
+    out = resize_axis(img.astype(np.float64), new_h, 0)
+    out = resize_axis(out, new_w, 1)
+    return out.astype(img.dtype, copy=False)

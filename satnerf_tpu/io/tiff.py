@@ -87,9 +87,20 @@ class GeoProfile:
 
 
 def epsg_for_utm(zone_string: str) -> int:
-    """'17R' -> 32617; southern zones -> 327xx."""
+    """MGRS zone string ('17R') -> EPSG (32617; southern bands -> 327xx).
+
+    The trailing letter is interpreted as an MGRS LATITUDE BAND (C-X,
+    where N..X are northern and C..M southern — so '17S' is NORTHERN).
+    Do NOT pass hemisphere-style strings (the '17N'/'17S' output of
+    ``geo.zonestring_to_hemisphere``): 'S' means the opposite thing in
+    that convention and the DSM would be georeferenced ~10,000 km off.
+    """
     zone = int(zone_string[:-1])
-    northern = zone_string[-1] >= "N"
+    band = zone_string[-1].upper()
+    assert "C" <= band <= "X" and band not in ("I", "O"), (
+        f"{zone_string!r}: {band!r} is not an MGRS latitude band"
+    )
+    northern = band >= "N"
     return (32600 if northern else 32700) + zone
 
 
@@ -216,31 +227,35 @@ def write_geotiff(fp: str, array: np.ndarray, profile: GeoProfile, compress: boo
 # --------------------------------------------------------------------------
 
 
-def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
-    """Read a striped (Geo)TIFF -> ((count, H, W) array, GeoProfile)."""
-    with open(fp, "rb") as f:
-        buf = f.read()
+def _parse_ifd_tags(fp: str, fetch) -> tuple[str, dict[int, list]]:
+    """Parse the first IFD via ``fetch(offset, size) -> bytes``.
 
-    if buf[:2] == b"II":
+    The fetch indirection lets ``read_geotiff`` parse an in-memory buffer
+    while ``read_geotiff_profile`` seeks inside the open file and never
+    touches strip/tile pixel data.
+    """
+    head = fetch(0, 8)
+    if head[:2] == b"II":
         bo = "<"
-    elif buf[:2] == b"MM":
+    elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError(f"{fp}: not a TIFF file")
-    magic, ifd_off = struct.unpack(bo + "HI", buf[2:8])
+    magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
     assert magic == 42, f"{fp}: bad TIFF magic {magic}"
 
     tags: dict[int, list] = {}
-    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
-    pos = ifd_off + 2
-    for _ in range(n_entries):
-        tid, ftype, n = struct.unpack(bo + "HHI", buf[pos : pos + 8])
+    (n_entries,) = struct.unpack(bo + "H", fetch(ifd_off, 2))
+    entries = fetch(ifd_off + 2, n_entries * 12)
+    for i in range(n_entries):
+        e = entries[i * 12 : (i + 1) * 12]
+        tid, ftype, n = struct.unpack(bo + "HHI", e[:8])
         size = _FT_SIZE.get(ftype, 1) * n
         if size <= 4:
-            payload = buf[pos + 8 : pos + 8 + size]
+            payload = e[8 : 8 + size]
         else:
-            (off,) = struct.unpack(bo + "I", buf[pos + 8 : pos + 12])
-            payload = buf[off : off + size]
+            (off,) = struct.unpack(bo + "I", e[8:12])
+            payload = fetch(off, size)
         if ftype == FT_ASCII:
             tags[tid] = [payload.rstrip(b"\0").decode("latin1")]
         elif ftype in _FT_FMT:
@@ -248,7 +263,39 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
         elif ftype == FT_RATIONAL:
             vals = struct.unpack(bo + "I" * (2 * n), payload)
             tags[tid] = [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(n)]
-        pos += 12
+    return bo, tags
+
+
+_DTYPES = {
+    (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
+    (8, 2): np.int8, (16, 2): np.int16, (32, 2): np.int32,
+    (32, 3): np.float32, (64, 3): np.float64,
+}
+
+
+def read_geotiff_profile(fp: str) -> GeoProfile:
+    """Tag-only read: geo/RPC/shape metadata WITHOUT decoding pixel data.
+
+    Used to copy tags from a (possibly large, compressed) source raster —
+    ``read_geotiff`` would decompress every strip/tile just to reach the
+    profile. Seeks inside the file; never reads the pixel payload.
+    """
+    with open(fp, "rb") as f:
+
+        def fetch(off, size):
+            f.seek(off)
+            return f.read(size)
+
+        _, tags = _parse_ifd_tags(fp, fetch)
+    return _profile_from_tags(tags)
+
+
+def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
+    """Read a striped (Geo)TIFF -> ((count, H, W) array, GeoProfile)."""
+    with open(fp, "rb") as f:
+        buf = f.read()
+
+    bo, tags = _parse_ifd_tags(fp, lambda off, size: buf[off : off + size])
 
     w = int(tags[T_WIDTH][0])
     h = int(tags[T_HEIGHT][0])
@@ -259,12 +306,12 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
     planar = int(tags.get(T_PLANAR, [1])[0])
     predictor = int(tags.get(T_PREDICTOR, [1])[0])
     assert planar == 1, f"{fp}: planar config {planar} unsupported"
+    if predictor not in (1, 2, 3):
+        # never decode silently with an unapplied predictor — the caller
+        # would get numerically corrupt pixels with no error
+        raise NotImplementedError(f"{fp}: TIFF predictor {predictor}")
 
-    dtype = {
-        (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
-        (8, 2): np.int8, (16, 2): np.int16, (32, 2): np.int32,
-        (32, 3): np.float32, (64, 3): np.float64,
-    }[(bits, sample_format)]
+    dtype = _DTYPES[(bits, sample_format)]
 
     def _decode(off, cnt, expected=0):
         raw = buf[int(off) : int(off) + int(cnt)]
@@ -297,14 +344,22 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
                     offsets[ty * tiles_x + tx], counts[ty * tiles_x + tx],
                     expected=tl * tw * count * (bits // 8),
                 )
-                tile = np.frombuffer(raw, dtype=np_dt)[: tl * tw * count]
-                assert tile.size == tl * tw * count, (
-                    f"{fp}: tile ({ty},{tx}) decoded to {tile.size} samples, "
-                    f"expected {tl * tw * count} (truncated or corrupt tile)"
-                )
-                tile = tile.reshape(tl, tw, count)
-                if predictor == 2:  # per-tile horizontal differencing
-                    tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
+                if predictor == 3:  # float byte-shuffle differencing
+                    tile = _undo_predictor3(
+                        raw, tl, tw * count, bits // 8, dtype
+                    ).reshape(tl, tw, count)
+                else:
+                    tile = np.frombuffer(raw, dtype=np_dt)[: tl * tw * count]
+                    assert tile.size == tl * tw * count, (
+                        f"{fp}: tile ({ty},{tx}) decoded to {tile.size} "
+                        f"samples, expected {tl * tw * count} "
+                        "(truncated or corrupt tile)"
+                    )
+                    tile = tile.reshape(tl, tw, count)
+                    if predictor == 2:  # per-tile horizontal differencing
+                        tile = np.cumsum(
+                            tile.astype(np.int64), axis=1
+                        ).astype(dtype)
                 ys, xs = ty * tl, tx * tw
                 ny, nx = min(tl, h - ys), min(tw, w - xs)
                 arr[ys : ys + ny, xs : xs + nx] = tile[:ny, :nx]
@@ -319,11 +374,27 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
             _decode(o, c, expected=strip_bytes)
             for o, c in zip(offsets, counts)
         )
-        arr = np.frombuffer(data, dtype=np_dt)
-        arr = arr[: h * w * count].reshape(h, w, count)
-        if predictor == 2:  # horizontal differencing (strips span full rows)
-            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
+        if predictor == 3:  # rows are independent, so strip joins are safe
+            arr = _undo_predictor3(
+                data, h, w * count, bits // 8, dtype
+            ).reshape(h, w, count)
+        else:
+            arr = np.frombuffer(data, dtype=np_dt)
+            arr = arr[: h * w * count].reshape(h, w, count)
+            if predictor == 2:  # horizontal differencing, full-row strips
+                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
     arr = np.moveaxis(arr, -1, 0).copy()
+    return arr, _profile_from_tags(tags)
+
+
+def _profile_from_tags(tags: dict[int, list]) -> GeoProfile:
+    """Geo/RPC/shape metadata from a parsed IFD tag dict."""
+    w = int(tags[T_WIDTH][0])
+    h = int(tags[T_HEIGHT][0])
+    count = int(tags.get(T_SAMPLES, [1])[0])
+    bits = int(tags.get(T_BITS, [8])[0])
+    sample_format = int(tags.get(T_SAMPLE_FORMAT, [1])[0])
+    dtype = _DTYPES[(bits, sample_format)]
 
     transform = None
     if T_PIXEL_SCALE in tags and T_TIEPOINT in tags:
@@ -352,11 +423,33 @@ def read_geotiff(fp: str) -> tuple[np.ndarray, GeoProfile]:
     if T_RPC in tags and len(tags[T_RPC]) == 92:
         rpc = RPCModel.from_geotiff_tag(tags[T_RPC])
 
-    profile = GeoProfile(
+    return GeoProfile(
         width=w, height=h, count=count, dtype=np.dtype(dtype).name,
         transform=transform, epsg=epsg, nodata=nodata, rpc=rpc,
     )
-    return arr, profile
+
+
+def _undo_predictor3(raw: bytes, rows: int, row_values: int, itemsize: int,
+                     dtype) -> np.ndarray:
+    """Undo TIFF predictor 3 (floating-point horizontal differencing,
+    TIFF Technical Note 3): per row, value bytes are stored split into
+    byte planes (MSB plane first, independent of the file's byte order)
+    and the plane-ordered byte stream is delta-encoded. Returns a
+    (rows, row_values) array in the native dtype."""
+    row_bytes = row_values * itemsize
+    b = np.frombuffer(raw, np.uint8)
+    assert b.size >= rows * row_bytes, (
+        f"predictor-3 payload has {b.size} bytes, "
+        f"expected {rows * row_bytes} (truncated or corrupt)"
+    )
+    b = b[: rows * row_bytes].reshape(rows, row_bytes)
+    b = np.cumsum(b, axis=1, dtype=np.uint32).astype(np.uint8)  # mod-256
+    planes = b.reshape(rows, itemsize, row_values)
+    interleaved = np.ascontiguousarray(np.moveaxis(planes, 1, 2))
+    vals = np.frombuffer(
+        interleaved.tobytes(), dtype=np.dtype(dtype).newbyteorder(">")
+    )
+    return vals.reshape(rows, row_values).astype(dtype)
 
 
 def _lzw_decode(data: bytes, expected: int = 0) -> bytes:

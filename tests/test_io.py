@@ -111,7 +111,19 @@ def test_image_helpers(tmp_path):
     np.testing.assert_allclose(arr[0], pred)
 
 
-def _write_tiled_tiff(fp, arr, tile=16, compress=True):
+def _predictor3_encode(block: np.ndarray) -> bytes:
+    """Forward TIFF predictor 3 (TechNote 3): per row, split value bytes
+    into MSB-first byte planes, then byte-difference the plane stream."""
+    h, w = block.shape
+    itemsize = block.dtype.itemsize
+    be = block.astype(block.dtype.newbyteorder(">"))
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(h, w, itemsize)
+    planes = np.moveaxis(b, 2, 1).reshape(h, itemsize * w)
+    diff = np.diff(planes.astype(np.int16), axis=1, prepend=0).astype(np.uint8)
+    return diff.tobytes()
+
+
+def _write_tiled_tiff(fp, arr, tile=16, compress=True, predictor=1):
     """Minimal tiled-TIFF writer for testing the reader's tile path
     (GDAL-style: row-major tile grid, edge tiles padded)."""
     import struct
@@ -126,12 +138,12 @@ def _write_tiled_tiff(fp, arr, tile=16, compress=True):
             block = np.zeros((tile, tile), arr.dtype)
             sub = arr[j * tile : (j + 1) * tile, i * tile : (i + 1) * tile]
             block[: sub.shape[0], : sub.shape[1]] = sub
-            raw = block.tobytes()
+            raw = _predictor3_encode(block) if predictor == 3 else block.tobytes()
             tiles.append(zlib.compress(raw) if compress else raw)
 
     bits = arr.dtype.itemsize * 8
     sample_format = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
-    n_tags = 12
+    n_tags = 13
     ifd_off = 8
     ifd_size = 2 + n_tags * 12 + 4
     ext = ifd_off + ifd_size
@@ -154,6 +166,7 @@ def _write_tiled_tiff(fp, arr, tile=16, compress=True):
     e.append(entry(262, 3, 1, struct.pack("<HH", 1, 0)))
     e.append(entry(277, 3, 1, struct.pack("<HH", 1, 0)))
     e.append(entry(284, 3, 1, struct.pack("<HH", 1, 0)))
+    e.append(entry(317, 3, 1, struct.pack("<HH", predictor, 0)))
     e.append(entry(322, 4, 1, struct.pack("<I", tile)))
     e.append(entry(323, 4, 1, struct.pack("<I", tile)))
     e.append(entry(324, 4, len(tiles), struct.pack("<I", offsets_payload_off)))
@@ -182,6 +195,65 @@ def test_tiled_tiff_read(tmp_path, dtype, compress):
     got, profile = read_geotiff(str(fp))
     assert profile.width == 29 and profile.height == 37
     np.testing.assert_array_equal(got[0], arr)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_predictor3_tiled_read(tmp_path, dtype):
+    """Predictor 3 (float byte-shuffle differencing, common on
+    GDAL-written float DSM rasters) decodes bit-exactly, incl. partial
+    edge tiles."""
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(37, 29)).astype(dtype)
+    fp = tmp_path / "pred3.tif"
+    _write_tiled_tiff(fp, arr, tile=16, compress=True, predictor=3)
+    got, _ = read_geotiff(str(fp))
+    np.testing.assert_array_equal(got[0], arr)
+
+
+def test_predictor3_strip_read(tmp_path):
+    """Predictor 3 through the strip path (one strip, deflate)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(9, 11)).astype(np.float32)
+    payload = zlib.compress(_predictor3_encode(arr))
+
+    def entry(tid, ftype, n, value):
+        return struct.pack("<HHI", tid, ftype, n) + value
+
+    n_tags = 11
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_tags * 12 + 4
+    e = [
+        entry(256, 4, 1, struct.pack("<I", 11)),
+        entry(257, 4, 1, struct.pack("<I", 9)),
+        entry(258, 3, 1, struct.pack("<HH", 32, 0)),
+        entry(259, 3, 1, struct.pack("<HH", 8, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(273, 4, 1, struct.pack("<I", data_off)),
+        entry(277, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(278, 4, 1, struct.pack("<I", 9)),
+        entry(279, 4, 1, struct.pack("<I", len(payload))),
+        entry(317, 3, 1, struct.pack("<HH", 3, 0)),
+        entry(339, 3, 1, struct.pack("<HH", 3, 0)),
+    ]
+    out = bytearray(b"II*\0" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_tags) + b"".join(e) + struct.pack("<I", 0)
+    out += payload
+    fp = tmp_path / "pred3_strip.tif"
+    fp.write_bytes(bytes(out))
+    got, _ = read_geotiff(str(fp))
+    np.testing.assert_array_equal(got[0], arr)
+
+
+def test_unknown_predictor_raises(tmp_path):
+    """An unsupported predictor must fail loudly, never decode garbage."""
+    arr = np.zeros((8, 8), np.float32)
+    fp = tmp_path / "pred9.tif"
+    _write_tiled_tiff(fp, arr, tile=8, compress=False, predictor=9)
+    with pytest.raises(NotImplementedError, match="predictor 9"):
+        read_geotiff(str(fp))
 
 
 class TestNativeLZW:
