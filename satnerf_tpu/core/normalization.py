@@ -51,7 +51,9 @@ class SceneNormalization:
             return cls(json.load(f))
 
     def save_json(self, fp: str) -> None:
-        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        d = os.path.dirname(fp)
+        if d:  # bare filename: makedirs('') raises
+            os.makedirs(d, exist_ok=True)
         with open(fp, "w") as f:
             json.dump(self.params, f, indent=2)
 

@@ -100,6 +100,11 @@ class EpochSampler:
                 perm = self.rng.choice(self.n, size=size, replace=False)
             else:
                 perm = self.rng.permutation(self.n)
+        elif size < self.n:
+            # subsampling promises a FRESH random subset each epoch even
+            # with in-epoch shuffling off — a fixed arange prefix would
+            # silently never train on the rest of the dataset
+            perm = np.sort(self.rng.choice(self.n, size=size, replace=False))
         else:
             perm = np.arange(size)
         self._perm = perm.astype(np.int32)

@@ -485,7 +485,12 @@ class Trainer:
         )
 
         mesh = getattr(self, "_mesh", None)
-        for i in range(len(rgb_test.data)):
+        # sanity mode exists to smoke the render/eval path before training
+        # starts (ref: num_sanity_val_steps=1 — ONE batch, not a split);
+        # rendering every image would block startup for minutes over the
+        # remote tunnel, so check a single image and return.
+        n_images = 1 if sanity else len(rgb_test.data)
+        for i in range(n_images):
             item = rgb_test.image_item(i)
             split = item["split"]
             res = render_image_chunked(

@@ -59,10 +59,18 @@ def snerf_loss(results, gt_rgb, lambda_sc: float = 0.05, sc_enabled: bool = True
     return sum(loss_dict.values()), loss_dict
 
 
-def composited_beta(results, beta_key: str = "beta"):
-    """beta composited along the ray + beta_min floor (ref: loss.py:16-19)."""
+def composited_beta(results, beta_key: str = "beta",
+                    detach_samples: bool = False):
+    """beta composited along the ray + beta_min floor (ref: loss.py:16-19).
+
+    ``detach_samples`` stops gradient through the beta SAMPLES only (the
+    compositing weights keep theirs) — the semantic uncertainty loss's
+    ``detach_beta_for_s`` contract."""
     w = results["weights"]
-    return jnp.sum(w[..., None] * results[beta_key], axis=-2) + BETA_MIN
+    beta = results[beta_key]
+    if detach_samples:
+        beta = jax.lax.stop_gradient(beta)
+    return jnp.sum(w[..., None] * beta, axis=-2) + BETA_MIN
 
 
 def uncertainty_aware_loss(results, gt_rgb):
@@ -155,12 +163,7 @@ def semantic_uncertainty_loss(
 
     has_beta_s = "beta_semantic" in results
     beta_key = "beta_semantic" if has_beta_s else "beta"
-    beta_samples = results[beta_key]
-    if detach_beta:
-        beta_samples = jax.lax.stop_gradient(beta_samples)
-    beta = (
-        jnp.sum(results["weights"][..., None] * beta_samples, axis=-2) + BETA_MIN
-    )
+    beta = composited_beta(results, beta_key, detach_samples=detach_beta)
 
     ce = _masked_ce(results["semantic_logits"], targets, mask)
     loss_dict = {"coarse_semantic": lambda_s * jnp.mean(ce / (2.0 * beta**2))}

@@ -387,7 +387,16 @@ def step_config_from_main(
         render=rcfg,
         steps_per_epoch=steps_per_epoch,
         sc_lambda=getattr(p, "sc_lambda", 0.0),
-        first_beta_epoch=getattr(p, "first_beta_epoch", 2),
+        # tj-instead-of-beta mode permanently disables the uncertainty
+        # losses: the reference forces first_beta_epoch = 1e7 there
+        # (semantic/pipelines/rs_semantic.py:30-32); without this the beta
+        # RGB loss (and the beta-gated semantic uncertainty CE) would
+        # activate at epoch 2 in a mode that must never train beta.
+        first_beta_epoch=(
+            10_000_000
+            if getattr(p, "use_tj_instead_of_beta", False)
+            else getattr(p, "first_beta_epoch", 2)
+        ),
         depth=depth,
         ds_lambda=getattr(p, "ds_lambda", 1000.0),
         ds_noweights=getattr(p, "ds_noweights", False),

@@ -172,6 +172,17 @@ class TestEpochSampler:
         batches = [s.next_batch() for _ in range(4)]
         assert all(b.shape == (10,) for b in batches)
 
+    def test_subsample_without_shuffle_is_fresh_each_epoch(self):
+        """shuffle=False + subsample must still draw a fresh random subset
+        per epoch (a fixed arange prefix would never train 90% of rays)."""
+        s = EpochSampler(1000, 10, seed=0, shuffle=False, subsample=0.1)
+        e0 = np.concatenate([s.next_batch() for _ in range(10)])
+        e1 = np.concatenate([s.next_batch() for _ in range(10)])
+        assert np.unique(e0).size == 100 and np.unique(e1).size == 100
+        assert not np.array_equal(np.sort(e0), np.sort(e1))
+        # in-epoch order stays sequential (the shuffle=False contract)
+        assert np.all(np.diff(e0) > 0) and np.all(np.diff(e1) > 0)
+
 
 class TestCorruptionGenerator:
     def test_corrupt_labels_rates(self):

@@ -248,3 +248,24 @@ def test_sin_impl_auto_resolves_quality_safe():
     cfg = MainConfig(RunConfig(dataset_name="X"), pipe(sin_impl="poly5"))
     scfg = step_config_from_main(cfg, steps_per_epoch=4)
     assert scfg.render.field.sin_impl == "poly5"
+
+
+def test_tj_instead_of_beta_disables_uncertainty_losses():
+    """use_tj_instead_of_beta permanently disables the beta losses: the
+    reference forces first_beta_epoch=1e7 in this mode
+    (semantic/pipelines/rs_semantic.py:30-32)."""
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.train.step import step_config_from_main
+
+    run = RunConfig(dataset_name="X")
+    scfg = step_config_from_main(
+        MainConfig(run, RSSemanticConfig(use_tj_instead_of_beta=True)),
+        steps_per_epoch=4,
+    )
+    assert scfg.first_beta_epoch >= 10_000_000
+    # without the flag the configured epoch passes through
+    scfg = step_config_from_main(
+        MainConfig(run, RSSemanticConfig(first_beta_epoch=3)),
+        steps_per_epoch=4,
+    )
+    assert scfg.first_beta_epoch == 3
