@@ -349,7 +349,13 @@ def load_configs(run_fp: str, pipeline_fp: str) -> MainConfig:
 
     run_d = read_toml(run_fp)
     pipe_d = read_toml(pipeline_fp)
-    cls = PIPELINE_REGISTRY[pipe_d.get("pipeline", "satnerf")]
+    pipe_name = pipe_d.get("pipeline", "satnerf")
+    if pipe_name not in PIPELINE_REGISTRY:
+        raise KeyError(
+            f"unknown pipeline {pipe_name!r} in {pipeline_fp}; "
+            f"expected one of {'|'.join(sorted(PIPELINE_REGISTRY))}"
+        )
+    cls = PIPELINE_REGISTRY[pipe_name]
     run_d = {k: v for k, v in run_d.items() if k in RunConfig.model_fields}
     pipe_d = {k: v for k, v in pipe_d.items() if k in cls.model_fields}
     return MainConfig(RunConfig(**run_d), cls(**pipe_d))

@@ -325,7 +325,7 @@ def _gauss_newton_points(
 def bundle_adjust(
     rpcs: list, pts: np.ndarray, obs: np.ndarray, mask: np.ndarray,
     n_rounds: int = 6, outlier_px: float = 2.0, bias_prior: float = 4.0,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Alternating LS: tracks <-> per-view (d_col, d_row) bias.
 
     Gauge: a rigid translation of every point along one view's ray is
@@ -338,7 +338,11 @@ def bundle_adjust(
     sat-bundleadjust) only as good as the input RPC family's common frame;
     the outputs are self-consistent points + adjusted cameras.
 
-    Returns (pts, bias (V, 2), mask, residuals (T, V))."""
+    Returns (pts, obs, bias (V, 2), mask, residuals (T, V)) — pts/obs/
+    mask may have FEWER rows than the inputs: tracks fully rejected by
+    the outlier pass are dropped (they would otherwise ride through the
+    remaining GN rounds as dead work), so consume the returned arrays,
+    not the ones passed in."""
     V = len(rpcs)
     bias = np.zeros((V, 2))
     for rnd in range(n_rounds):
@@ -357,8 +361,14 @@ def bundle_adjust(
             keep = res <= max(outlier_px, 3.0 * med)
             mask = mask & keep
             mask[mask.sum(axis=1) < 2] = False  # tracks need >= 2 views
+            # drop fully-dead tracks from the arrays: rejected rows would
+            # otherwise ride through the remaining GN rounds as pure
+            # wasted work (a damped identity solve + V RPC projections
+            # per dead track per iteration)
+            alive = mask.any(axis=1)
+            pts, obs, mask = pts[alive], obs[alive], mask[alive]
     res = np.linalg.norm(_residuals(rpcs, pts, obs, mask, bias), axis=2)
-    return pts, bias, mask, res
+    return pts, obs, bias, mask, res
 
 
 # -----------------------------------------------------------------------
@@ -391,7 +401,7 @@ def run_native_ba(
             "loosen zncc_min/locus_tol"
         )
     pts, obs, mask = triangulate_tracks(tracks, rpcs, alt_range)
-    pts, bias, mask, res = bundle_adjust(rpcs, pts, obs, mask)
+    pts, obs, bias, mask, res = bundle_adjust(rpcs, pts, obs, mask)
 
     keep = mask.sum(axis=1) >= 2
     pts, obs, mask, res = pts[keep], obs[keep], mask[keep], res[keep]

@@ -75,7 +75,11 @@ def decode_rle(counts: list[int], h: int, w: int) -> np.ndarray:
         flat[pos : pos + c] = val
         pos += c
         val = not val
-    assert pos <= h * w, f"RLE runs ({pos}) exceed mask size ({h * w})"
+    assert pos == h * w, (
+        f"RLE runs sum to {pos}, mask size is {h * w} — truncated or "
+        "mis-sized encoding (pycocotools would decode a different mask; "
+        "silent zero-filling of the tail would mislabel those pixels)"
+    )
     return flat.reshape((h, w), order="F")
 
 

@@ -179,15 +179,17 @@ def coco_to_masks(
         np.save(out_fp, mask)
 
 
-def _cli_corrupt(cls_dp: str, out_dp: str, seed: int = 0):
+def _cli_corrupt(cls_dp: str, out_dp: str, seed: int | str = 0):
     from satnerf_tpu.io.tiff import read_geotiff, write_geotiff
 
+    seed = int(seed)  # argv passes strings; default_rng('5') is a TypeError
     os.makedirs(out_dp, exist_ok=True)
-    for name in sorted(os.listdir(cls_dp)):
+    for img_i, name in enumerate(sorted(os.listdir(cls_dp))):
         if not name.endswith(".tif"):
             continue
         arr, profile = read_geotiff(os.path.join(cls_dp, name))
-        corrupted = corrupt_labels(arr[0].astype(np.uint8), seed=seed)
+        # per-image seed, same rationale as steps/step_semantic.py
+        corrupted = corrupt_labels(arr[0].astype(np.uint8), seed=seed + img_i)
         write_geotiff(os.path.join(out_dp, name), corrupted[None], profile)
 
 

@@ -11,7 +11,7 @@ import os
 from satnerf_tpu.data_prep import geo_utils
 from satnerf_tpu.data_prep.step_base import ProcessingStepBase
 from satnerf_tpu.io.json_io import read_json, write_json
-from satnerf_tpu.io.tiff import read_geotiff
+from satnerf_tpu.io.tiff import read_geotiff, read_geotiff_profile
 from satnerf_tpu.logger import logger
 
 
@@ -21,7 +21,29 @@ class ProcessingStep(ProcessingStepBase):
         self.out_dp = os.path.join(cfg.general.output_dp, "images_cropped")
 
     def can_be_skipped(self, cfg, state):
-        return os.path.isdir(self.out_dp) and len(os.listdir(self.out_dp)) > 0
+        """Skip only when the previous run COMPLETED: every source image
+        has a cropped tif whose dimensions match its (RPC-shifted) meta.
+        A bare non-empty-dir check would skip over a partially-crashed run
+        and feed downstream steps a mix of cropped and uncropped
+        images/metas (rays offset by the crop origin, no error raised)."""
+        if not os.path.isdir(self.out_dp):
+            return False
+        src = sorted(glob.glob(os.path.join(state["image_dp"], "*.tif")))
+        if not src:
+            return False
+        for tif_fp in src:
+            name = os.path.basename(tif_fp)
+            out_fp = os.path.join(self.out_dp, name)
+            meta_fp = os.path.join(state["metas_dp"], name[:-4] + ".json")
+            if not (os.path.isfile(out_fp) and os.path.isfile(meta_fp)):
+                return False
+            prof = read_geotiff_profile(out_fp)
+            meta = read_json(meta_fp)
+            # a crash between write_geotiff and write_json leaves the
+            # uncropped width/height (or RPC) in the meta
+            if meta.get("width") != prof.width or meta.get("height") != prof.height:
+                return False
+        return True
 
     def run(self, cfg, state):
         os.makedirs(self.out_dp, exist_ok=True)

@@ -43,7 +43,7 @@ class ProcessingStep(ProcessingStepBase):
         for dp in (self.own_dp, self.corr_dp, self.nocars_dp):
             os.makedirs(dp, exist_ok=True)
 
-        for name in state["image_names"]:
+        for img_i, name in enumerate(state["image_names"]):
             mask_fp = os.path.join(masks_dp, name + ".npy")
             if not os.path.isfile(mask_fp):
                 # annotations may be named by location prefix without _RGB
@@ -55,6 +55,12 @@ class ProcessingStep(ProcessingStepBase):
             # copy RPC tags from the source image
             img_fp = os.path.join(state["image_dp"], name + ".tif")
             _, img_profile = read_geotiff(img_fp)
+            assert mask.shape == (img_profile.height, img_profile.width), (
+                f"{name}: mask {mask.shape} does not match image "
+                f"({img_profile.height}, {img_profile.width}) — the RPC "
+                "copied onto the CLS tif would map a different raster grid "
+                "(masks annotated on uncropped/other-resolution imagery?)"
+            )
             profile = GeoProfile(
                 width=mask.shape[1], height=mask.shape[0], count=1,
                 dtype="uint8", rpc=img_profile.rpc,
@@ -63,7 +69,12 @@ class ProcessingStep(ProcessingStepBase):
             write_geotiff(os.path.join(self.own_dp, cls_name), mask[None], profile)
             write_geotiff(
                 os.path.join(self.corr_dp, cls_name),
-                corrupt_labels(mask, seed=cfg.general.seed)[None], profile,
+                # per-image seed: the same seed for every view would
+                # corrupt all views with a pixel-identical noise field —
+                # perfectly view-correlated label noise that multi-view
+                # training averages away, defeating the robustness variant
+                corrupt_labels(mask, seed=cfg.general.seed + img_i)[None],
+                profile,
             )
             write_geotiff(
                 os.path.join(self.nocars_dp, cls_name),

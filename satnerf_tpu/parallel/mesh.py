@@ -32,7 +32,16 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if not 0 < n_devices <= len(devices):
+                # silent truncation would run "4-way data parallelism" on
+                # one chip with no hint beyond mysteriously low throughput
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} device(s) are available"
+                )
             devices = devices[:n_devices]
+    if len(devices) == 0:
+        raise ValueError("cannot build a mesh over zero devices")
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 

@@ -54,6 +54,16 @@ def make_pod_mesh():
 
 
 def local_batch_slice(global_batch: int) -> int:
-    """Rays this host must feed per step for an evenly-sharded global batch."""
-    per_device = global_batch // jax.device_count()
-    return per_device * jax.local_device_count()
+    """Rays this host must feed per step for an evenly-sharded global batch.
+
+    Requires ``global_batch`` divisible by the pod device count — flooring
+    silently would train at a different effective batch than configured
+    (LR schedules and loss scaling are tuned to the nominal size).
+    """
+    n = jax.device_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by the pod's "
+            f"{n} devices (realized batch would be {global_batch // n * n})"
+        )
+    return (global_batch // n) * jax.local_device_count()

@@ -156,7 +156,7 @@ def test_solver_recovers_injected_bias_modulo_gauge(scene):
 
     tracks = [dict(zip(range(len(rpcs)), map(tuple, o))) for o in obs]
     pts0, obs_t, mask_t = B.triangulate_tracks(tracks, rpcs, alt_range)
-    pts, bias, mask2, res = B.bundle_adjust(rpcs, pts0, obs_t, mask_t)
+    pts, obs_t, bias, mask2, res = B.bundle_adjust(rpcs, pts0, obs_t, mask_t)
     assert float(res[mask2].mean()) < 0.45  # ~ the injected noise level
 
     resid, delta = _gauge_residual(
