@@ -230,7 +230,12 @@ def _linear(layer, x, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
-    return x @ w + b.astype(x.dtype)
+    y = x @ w
+    # bias in the RESULT dtype, not x's: the f32 head layers (dtype=None)
+    # take bf16 features against f32 weights, so y promotes to f32 — and
+    # casting b to x's bf16 would needlessly quantise the head bias
+    # (~0.4% rel) in outputs that are documented to stay f32
+    return y + b.astype(y.dtype)
 
 
 def _pallas_ok(cfg: FieldConfig) -> bool:

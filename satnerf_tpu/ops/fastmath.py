@@ -58,39 +58,49 @@ _Q2 = 7.633781238515e-03
 _PI2_F32 = np.float32(2.0 * np.pi)
 
 
-def fast_sin(x):
-    """sin(x) to ~2e-6 abs error for |x| <= ~1e3, ~4x cheaper than XLA's
-    sin on the TPU VPU. Computes in the input dtype's promotion with f32
-    constants; pass f32/bf16 as appropriate."""
+def _sin_poly(x, two_term_reduction: bool, degree7: bool):
+    """Shared reduce -> fold -> Horner body for the three sine engines.
+
+    One definition so a coefficient or fold fix cannot silently diverge
+    between engines (the Pallas kernels parameterise the same way,
+    ops/pallas/trunk.py). The branches are Python-static: each engine
+    traces to exactly the ops it always had, in the same order.
+    """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     n = jnp.round(xf * _INV_PI2)
-    r = xf - n * _PI2_HI
-    r = r - n * _PI2_LO
+    if two_term_reduction:  # Cody-Waite: exact for |n| < 2^16
+        r = xf - n * _PI2_HI
+        r = r - n * _PI2_LO
+    else:  # one fma cheaper; rounding error |n| * 2.4e-7
+        r = xf - n * _PI2_F32
     # fold [-pi, pi] -> [-pi/2, pi/2]: sin(pi - r) = sin(r)
     r = jnp.where(r > _HALF_PI, np.pi - r, r)
     r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
     r2 = r * r
-    p = _S3
-    p = p * r2 + _S2
-    p = p * r2 + _S1
+    if degree7:
+        p = _S3
+        p = p * r2 + _S2
+        p = p * r2 + _S1
+    else:
+        p = _Q2 * r2 + _Q1
     return (r + r * r2 * p).astype(dtype)
+
+
+def fast_sin(x):
+    """sin(x) to ~2e-6 abs error for |x| <= ~1e3, ~4x cheaper than XLA's
+    sin on the TPU VPU (``sin_impl="poly"``, the production default —
+    the degree-5/one-term variants below measured a small but consistent
+    DSM-MAE cost when TRAINED with, docs/performance.md "quality gate").
+    Computes in the input dtype's promotion with f32 constants."""
+    return _sin_poly(x, two_term_reduction=True, degree7=True)
 
 
 def fast_sin5(x):
     """sin(x) to ~1.5e-4 abs error for |x| <= ~1e3: one-term range
     reduction + degree-5 minimax fold kernel. Two VPU fmas shorter than
-    :func:`fast_sin`; intended for bf16 activations, where the result is
-    rounded to ~4e-3 steps immediately anyway (``sin_impl="poly5"``)."""
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    n = jnp.round(xf * _INV_PI2)
-    r = xf - n * _PI2_F32
-    r = jnp.where(r > _HALF_PI, np.pi - r, r)
-    r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
-    r2 = r * r
-    p = _Q2 * r2 + _Q1
-    return (r + r * r2 * p).astype(dtype)
+    :func:`fast_sin` (``sin_impl="poly5"``, opt-in)."""
+    return _sin_poly(x, two_term_reduction=False, degree7=False)
 
 
 def fast_sin7f(x):
@@ -98,19 +108,10 @@ def fast_sin7f(x):
     (``sin_impl="poly7f"``): one reduction fma cheaper than :func:`fast_sin`.
 
     Error budget: the single-float reduction contributes |n| * 2.4e-7
-    (measured 5.6e-5 max at |x| = 1e3, and only ~4e-6 for the |x| <~ 50
-    bulk of SIREN pre-activations) on top of the kernel's 1.75e-6 — below poly5's
-    1.1e-4 minimax residual, the measured DSM-MAE bias mechanism
-    (docs/performance.md "degree-5 sine"). Splits poly5's two-fma saving:
-    candidate bf16 default pending the paired-seed quality gate."""
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    n = jnp.round(xf * _INV_PI2)
-    r = xf - n * _PI2_F32
-    r = jnp.where(r > _HALF_PI, np.pi - r, r)
-    r = jnp.where(r < -_HALF_PI, -np.pi - r, r)
-    r2 = r * r
-    p = _S3
-    p = p * r2 + _S2
-    p = p * r2 + _S1
-    return (r + r * r2 * p).astype(dtype)
+    (measured 5.6e-5 max at |x| = 1e3, ~4e-6 for the |x| <~ 50 bulk of
+    SIREN pre-activations) on top of the kernel's 1.75e-6. Gate verdict
+    (n=4 paired seeds, 2026-08-19): stays OPT-IN for training — one seed's
+    converged DSM-MAE lands outside the poly spread and the mean shifts
+    +0.08 m — but the eval-time swap matrix shows engine choice is
+    metric-free on trained checkpoints, so inference may use it freely."""
+    return _sin_poly(x, two_term_reduction=False, degree7=True)
