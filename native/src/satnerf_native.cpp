@@ -141,6 +141,13 @@ void sn_rasterize_mean(const double* cloud, int64_t n, double xoff, double yoff,
     if (!std::isfinite(e) || !std::isfinite(nn) || !std::isfinite(z)) continue;
     const double col = (e - xoff) / resolution;
     const double row = (yoff - nn) / resolution;
+    // huge-but-finite coords (corrupt cloud / wrong CRS): the double->int64
+    // cast below is UB outside int64 range, and anything beyond the splat
+    // reach cannot touch the grid anyway — reject before casting
+    const double reach = (double)radius + 1.0;
+    if (col < -reach || col >= (double)xsize + reach ||
+        row < -reach || row >= (double)ysize + reach)
+      continue;
     const int64_t c0 = (int64_t)std::floor(col);
     const int64_t r0 = (int64_t)std::floor(row);
     for (int64_t rr = r0 - radius; rr <= r0 + radius; ++rr) {

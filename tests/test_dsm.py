@@ -100,6 +100,27 @@ class TestRasterize:
             native._lib = saved
         np.testing.assert_allclose(g1, g2, equal_nan=True, atol=1e-12)
 
+    def test_huge_finite_coords_rejected(self):
+        """Finite-but-absurd coordinates (corrupt cloud / wrong CRS) must not
+        reach the C++ double->int64 cast (UB outside int64 range): the point
+        is simply dropped, identically in the native and numpy paths."""
+        cloud = np.array(
+            [
+                [1e300, 25.0, 5.0],   # col overflows int64
+                [25.0, -1e300, 5.0],  # row overflows int64
+                [-1e18, 25.0, 5.0],   # far outside but castable
+                [25.0, 25.0, 7.0],    # in-grid control point
+            ]
+        )
+        g1 = rasterize_mean(cloud, 0.0, 50.0, 1.0, 50, 50, radius=1)
+        native._lib, saved = None, native._lib
+        try:
+            g2 = rasterize_mean(cloud, 0.0, 50.0, 1.0, 50, 50, radius=1)
+        finally:
+            native._lib = saved
+        np.testing.assert_allclose(g1, g2, equal_nan=True, atol=1e-12)
+        assert g1[25, 25] == 7.0  # the sane point still lands
+
     def test_jax_scatter_matches_radius0(self):
         rng = np.random.default_rng(3)
         cloud = np.stack(
