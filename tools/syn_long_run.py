@@ -1,0 +1,103 @@
+"""Launch the SYN_LONG production-stability run (docs/validation_run.md).
+
+Regenerates the full-size synthetic scene (8x256^2 train + 3 test views,
+16k bundle-adjustment tie points) and trains the flagship ``rs_semantic``
+configuration for 30k steps at production settings (8x512 SIREN, 64
+samples/ray, batch 8192, bf16 + poly-sin, steps_per_dispatch=8, depth
+supervision for the first quarter of training, car-reg from epoch 3).
+
+Used for the round-2 preemption/determinism study (seed 7) and round-3
+seed-robustness points. Scene + workspace live under ``.scratch`` (git-
+ignored); results are summarised into docs/validation_run.md by hand.
+
+Usage:
+  python tools/syn_long_run.py <out_root> [--seed K] [--steps N]
+      [--resume] [--val-every E]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_root", help="run root (scene + workspace live here)")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--val-every", type=int, default=50)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in the workspace")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.out_root, exist_ok=True)
+    scene_dp = os.path.join(args.out_root, "scene")
+    if not os.path.isfile(os.path.join(scene_dp, "root.json")):
+        from satnerf_tpu.datasets.synthetic import generate_scene
+
+        print("[syn_long] generating 8+3-view 256^2 scene ...", flush=True)
+        generate_scene(
+            scene_dp, n_train=8, n_test=3, img_size=256,
+            n_tie_points=16000, aoi_name="SYN_LONG", seed=0,
+        )
+
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.pipelines import load_pipeline
+    from satnerf_tpu.run.training import _apply_matmul_precision
+    from satnerf_tpu.train.loop import Trainer
+
+    run = RunConfig(
+        dataset_name="scene",
+        datasets_dp=args.out_root,
+        cache_dp=os.path.join(args.out_root, "cache"),
+        workspace_dp=os.path.join(args.out_root, "training"),
+        max_train_steps=args.steps,
+        check_val_every_n_epoch=args.val_every,
+        num_sanity_val_steps=0,
+        deterministic=True,
+        seed=args.seed,
+        steps_per_dispatch=8,
+    )
+    pipe = RSSemanticConfig(
+        batch_size=8192,
+        compute_dtype="bfloat16",
+        ignore_car_index=False,
+        use_car_reg_loss=True,
+        car_reg_loss_start=3,
+        lambda_c=1.0,
+    )
+    cfgs = MainConfig(run, pipe)
+    _apply_matmul_precision(run.matmul_precision)
+
+    if args.resume:
+        from satnerf_tpu.run.resume_training import resume
+
+        ws = os.path.join(args.out_root, "training")
+        runs = sorted(
+            d for d in os.listdir(ws)
+            if os.path.isdir(os.path.join(ws, d))
+        )
+        if not runs:
+            print("[syn_long] --resume given but no run dir found", flush=True)
+            return 1
+        resume(os.path.join(ws, runs[-1]))
+        return 0
+
+    cfgs.create_run_dp()
+    pipeline = load_pipeline(cfgs)
+    pipeline.prepare_run()
+    pipeline.load_datasets()
+    trainer = Trainer(pipeline)
+    trainer.fit()
+    print(f"[syn_long] done: {cfgs.run.run_dp}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
