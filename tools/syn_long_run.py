@@ -34,6 +34,14 @@ def main(argv=None):
     ap.add_argument("--val-every", type=int, default=50)
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in the workspace")
+    # hierarchical (coarse-to-fine) variant: the feature the reference only
+    # scaffolds (framework/components/rendering.py:8-55, use_fine_network
+    # never enabled in its configs) run at production scale. The fine pass
+    # triples field points/ray (64 coarse + 128 fine, sc-doubled), so the
+    # stored-activation backward exceeds HBM at batch 8192 — the launcher
+    # drops to batch 4096 + remat_chunks=2 when enabled.
+    ap.add_argument("--n-importance", type=int, default=0)
+    ap.add_argument("--use-fine-network", action="store_true")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out_root, exist_ok=True)
@@ -63,8 +71,9 @@ def main(argv=None):
         deterministic=True,
         seed=args.seed,
         steps_per_dispatch=8,
+        run_name_postfix="hier" if args.n_importance > 0 else "",
     )
-    pipe = RSSemanticConfig(
+    pipe_kwargs = dict(
         batch_size=8192,
         compute_dtype="bfloat16",
         ignore_car_index=False,
@@ -72,6 +81,14 @@ def main(argv=None):
         car_reg_loss_start=3,
         lambda_c=1.0,
     )
+    if args.n_importance > 0:
+        pipe_kwargs.update(
+            n_importance=args.n_importance,
+            use_fine_network=args.use_fine_network,
+            batch_size=4096,
+            remat_chunks=2,
+        )
+    pipe = RSSemanticConfig(**pipe_kwargs)
     cfgs = MainConfig(run, pipe)
     _apply_matmul_precision(run.matmul_precision)
 
