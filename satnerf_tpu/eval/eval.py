@@ -10,6 +10,8 @@ compared to invoking the standalone CLIs back-to-back.
 
 CLI: python -m satnerf_tpu.eval.eval <run_or_experiment_dp> [output_dp]
      [--splits test,train] [--epoch N]
+     output_dp defaults to $SATNERF_TPU_EVAL_DP, else
+     <run_or_experiment_dp>/eval_battery.
 """
 
 from __future__ import annotations
@@ -50,11 +52,15 @@ def eval_all(
     epoch: int = -1,
     chunk: int = 16384,
 ):
+    # orbax rejects relative checkpoint paths; anchor everything up front
+    input_dp = os.path.abspath(input_dp)
     if output_dp is None:
         output_dp = os.getenv(EVAL_DP_ENV) or os.getenv(EVAL_DP_ENV_COMPAT)
-        assert output_dp and os.path.isdir(output_dp), (
-            f"no output_dp given and ${EVAL_DP_ENV} unset"
-        )
+    if output_dp is None:
+        # bare `eval <run_dp>`: keep the battery self-contained in the run
+        output_dp = os.path.join(input_dp, "eval_battery")
+    output_dp = os.path.abspath(output_dp)
+    os.makedirs(output_dp, exist_ok=True)
     if isinstance(splits, str):
         splits = tuple(s for s in splits.split(",") if s)
 

@@ -153,6 +153,26 @@ def test_eval_all_orchestrator(trained_run, tmp_path):
     assert os.path.isfile(os.path.join(out, "gathered.txt"))
 
 
+def test_eval_all_bare_relative_invocation(trained_run, tmp_path, monkeypatch):
+    """`eval <run_dp>` with a RELATIVE path and no output_dp works: the
+    input is abspathed (orbax rejects relative checkpoint paths) and the
+    battery defaults to <run_dp>/eval_battery."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.eval import eval_all
+    from satnerf_tpu.eval.util import EVAL_DP_ENV, EVAL_DP_ENV_COMPAT
+
+    monkeypatch.delenv(EVAL_DP_ENV, raising=False)
+    monkeypatch.delenv(EVAL_DP_ENV_COMPAT, raising=False)
+    monkeypatch.chdir(os.path.dirname(run_dp))
+    eval_all(os.path.basename(run_dp), splits="test", chunk=2048)
+    out = os.path.join(run_dp, "eval_battery")
+    run_name = os.path.basename(run_dp)
+    assert os.path.isfile(
+        os.path.join(out, run_name, "eval", "test", "results.json")
+    )
+    assert os.path.isfile(os.path.join(out, "gathered.txt"))
+
+
 def test_study_cli(trained_run, tmp_path):
     """DSM study tools (ref: eval/study/*): colormapped PNG from a GeoTIFF
     band and a PLY point cloud from the GT DSM raster, via the CLI."""
