@@ -72,6 +72,9 @@ if SIN_IMPL == "auto":  # resolve like train/step.py: quality-safe kernel
 assert SIN_IMPL in ("poly", "poly5", "poly7f", "exact"), (
     f"SATNERF_BENCH_SIN={SIN_IMPL!r}: use poly, poly5, poly7f, exact, or auto"
 )
+# solar-correction quadrature stride (opt-in, quality-gated like the sine
+# engines; see docs/performance.md): every k-th z rung on the sc half only
+SC_STRIDE = int(os.environ.get("SATNERF_BENCH_SC_STRIDE", 1))
 TRUNK_BWD = os.environ.get("SATNERF_BENCH_BWD", "recompute")
 if TRUNK_BWD == "auto":  # resolve like models/field.py: stored at 8192/bf16
     TRUNK_BWD = "stored" if BATCH_SIZE <= 8192 else "recompute"
@@ -137,6 +140,7 @@ def main(deadline_s: float | None = None) -> None:
     rcfg = RenderConfig(
         field=fcfg, n_samples=64, solar_correction=True,
         compute_dtype="bfloat16", remat_chunks=REMAT_CHUNKS,
+        sc_stride=SC_STRIDE,
     )
     scfg = StepConfig(
         render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,

@@ -149,6 +149,12 @@ class NeRFConfig(BaseModel):
 class SNeRFConfig(NeRFConfig):
     pipeline: str = "snerf"
     sc_lambda: float = 0.05
+    # solar-correction quadrature stride: 1 = the reference's full-ladder
+    # sun march; k>1 marches every k-th rung on the sc half only (the sc
+    # terms read just the transmittance integral there). Cuts sc field
+    # points by 1/k; opt-in behind the DSM-MAE quality gate
+    # (docs/performance.md).
+    sc_stride: int = 1
 
     @property
     def variant(self) -> str:

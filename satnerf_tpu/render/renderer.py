@@ -46,6 +46,15 @@ class RenderConfig:
     # the coarse field itself.
     n_importance: int = 0
     use_fine_network: bool = False
+    # solar-correction quadrature stride. The sc terms only need the
+    # transmittance integral along the sun ray (ref: loss.py:4-12 reads
+    # transparency/weights/sun_v there) — a coarser z ladder on that half
+    # is a pure quadrature choice, not a model change. k=1 marches the
+    # full main ladder (the reference's exact semantics,
+    # ref: rendering.py:47-50); k>1 marches every k-th rung (anchored at
+    # the far end), cutting the sc half's field points by 1/k. Opt-in
+    # behind the paired-seed DSM-MAE quality gate (docs/performance.md).
+    sc_stride: int = 1
     compute_dtype: str = "float32"  # trunk GEMM dtype: "float32"|"bfloat16"
     # rematerialise the field eval in the backward pass: trades ~1/3 more
     # FLOPs for O(batch) instead of O(batch*layers) activation memory,
@@ -157,12 +166,20 @@ def _render_pass(
     S = z_vals.shape[-1]
 
     run_sc = rcfg.solar_correction and fcfg.has_sun
+    sc_stride = max(int(rcfg.sc_stride), 1) if run_sc else 1
+    split_sc = run_sc and sc_stride > 1
     if run_sc:
-        # solar-correction sample points: same z ladder marched along the sun
-        # direction from the ray origin (ref: rendering.py:47-50)
+        # solar-correction sample points: the (possibly strided) z ladder
+        # marched along the sun direction from the ray origin
+        # (ref: rendering.py:47-50; stride anchored at the far end so the
+        # transmittance integral still reaches the full depth range)
         origins = ray_component(rays, "origins")
-        xyz_sc = origins[:, None, :] + sun_d[:, None, :] * z_vals[..., None]
-        pts = jnp.concatenate([xyz, xyz_sc], axis=0).reshape(-1, 3)
+        z_sc = z_vals[..., sc_stride - 1 :: sc_stride] if split_sc else z_vals
+        S_sc = z_sc.shape[-1]
+        xyz_sc = origins[:, None, :] + sun_d[:, None, :] * z_sc[..., None]
+        pts = jnp.concatenate(
+            [xyz.reshape(-1, 3), xyz_sc.reshape(-1, 3)], axis=0
+        )
         n_eval = 2 * B
     else:
         pts = xyz.reshape(-1, 3)
@@ -171,8 +188,10 @@ def _render_pass(
     def tile(x):
         if x is None:
             return None
-        if n_eval == 2 * B:
-            x = jnp.concatenate([x, x], axis=0)
+        if run_sc:
+            return jnp.concatenate(
+                [_per_point(x, S), _per_point(x, S_sc)], axis=0
+            )
         return _per_point(x, S)
 
     def eval_field(field_params, pts_, view_dir_, sun_d_, t_emb_, t_s_emb_):
@@ -203,6 +222,11 @@ def _render_pass(
             heads=True,
         )
         if run_sc:
+            if split_sc:
+                vd, sd, te, tse = (
+                    _per_point(x, S_sc) if x is not None else None
+                    for x in (view_dir, sun_d, t_emb, t_s_emb)
+                )
             raw_sc = _scan_eval(
                 field_params, rcfg, xyz_sc.reshape(-1, 3), vd, sd, te, tse,
                 heads=False,
@@ -219,34 +243,51 @@ def _render_pass(
             tile(t_s_emb),
         )
 
-    def unflat(x, ch=None):
+    def _unflat(x, rows, n_s):
         if x.ndim == 1:
-            return x.reshape(n_eval, S)
-        return x.reshape(n_eval, S, x.shape[-1])
+            return x.reshape(rows, n_s)
+        return x.reshape(rows, n_s, x.shape[-1])
 
     def unflat_m(x):
         """Head outputs are pruned to the main (non-sc) half: (B*S, ...)."""
-        if x.ndim == 1:
-            return x.reshape(B, S)
-        return x.reshape(B, S, x.shape[-1])
+        return _unflat(x, B, S)
 
-    sigmas = unflat(raw["sigma"])
-    z_all = jnp.concatenate([z_vals, z_vals], axis=0) if run_sc else z_vals
-    weights, depth, transparency, _ = convert_sigmas(sigmas, z_all)
+    if split_sc:
+        # strided sc ladder: the halves have different sample counts, so
+        # each composites against its own z ladder
+        n_main = B * S
+        sig_m = _unflat(raw["sigma"][:n_main], B, S)
+        sig_sc = _unflat(raw["sigma"][n_main:], B, S_sc)
+        w_m, depth_m, transp_m, _ = convert_sigmas(sig_m, z_vals)
+        w_sc, _, transp_sc, _ = convert_sigmas(sig_sc, z_sc)
+        if fcfg.has_sun:
+            sun_m = _unflat(raw["sun_v"][:n_main], B, S)
+            sun_sc_v = _unflat(raw["sun_v"][n_main:], B, S_sc)
+    else:
+        sigmas = _unflat(raw["sigma"], n_eval, S)
+        z_all = jnp.concatenate([z_vals, z_vals], axis=0) if run_sc else z_vals
+        weights, depth, transparency, _ = convert_sigmas(sigmas, z_all)
+        sig_m = sigmas[:B]
+        w_m, depth_m, transp_m = weights[:B], depth[:B], transparency[:B]
+        if run_sc:
+            w_sc, transp_sc = weights[B:], transparency[B:]
+        if fcfg.has_sun:
+            sun_all = _unflat(raw["sun_v"], n_eval, S)
+            sun_m = sun_all[:B]
+            if run_sc:
+                sun_sc_v = sun_all[B:]
 
-    # main half
-    w_m = weights[:B]
     albedo = unflat_m(raw["rgb"])
     result = {
         "weights": w_m,
-        "depth": depth[:B],
-        "transparency": transparency[:B],
-        "sigmas": sigmas[:B],
+        "depth": depth_m,
+        "transparency": transp_m,
+        "sigmas": sig_m,
         "albedo": albedo,
     }
 
     if fcfg.has_sun:
-        sun_v = unflat(raw["sun_v"])[:B]
+        sun_v = sun_m
         sky = unflat_m(raw["sky"])
         irradiance = sun_v + (1.0 - sun_v) * sky  # s-nerf eq. 2
         rgb = jnp.sum(w_m[..., None] * albedo * irradiance, axis=-2)
@@ -271,9 +312,9 @@ def _render_pass(
             result["beta_semantic"] = unflat_m(raw["beta_s"])
 
     if run_sc:
-        result["weights_sc"] = weights[B:]
-        result["transparency_sc"] = transparency[B:]
-        result["sun_sc"] = unflat(raw["sun_v"])[B:]
+        result["weights_sc"] = w_sc
+        result["transparency_sc"] = transp_sc
+        result["sun_sc"] = sun_sc_v
 
     return result
 

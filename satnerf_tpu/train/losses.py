@@ -40,10 +40,17 @@ def solar_correction_terms(results, lambda_sc: float):
     transmittance along the solar ray; term3 encourages the weighted sun
     visibility to integrate to 1.
     """
-    sun_sc = results["sun_sc"][..., 0]  # (B, S)
+    sun_sc = results["sun_sc"][..., 0]  # (B, S_sc)
     t_sc = jax.lax.stop_gradient(results["transparency_sc"])
     w_sc = jax.lax.stop_gradient(results["weights_sc"])
     term2 = jnp.sum((t_sc - sun_sc) ** 2, axis=-1)
+    # term2 is a plain per-sample sum; under a strided sc ladder
+    # (RenderConfig.sc_stride > 1) rescale it to the full-ladder count so
+    # the objective's weighting is quadrature-invariant. term3 is already
+    # an integral (weights carry the deltas) and needs no compensation.
+    n_main = results["weights"].shape[-1]
+    if sun_sc.shape[-1] != n_main:
+        term2 = term2 * (n_main / sun_sc.shape[-1])
     term3 = 1.0 - jnp.sum(w_sc * sun_sc, axis=-1)
     return {
         "coarse_sc_term2": lambda_sc / 3.0 * jnp.mean(term2),

@@ -377,6 +377,7 @@ def step_config_from_main(
         field=fcfg,
         n_samples=p.n_samples,
         solar_correction=getattr(p, "sc_lambda", 0.0) > 0,
+        sc_stride=getattr(p, "sc_stride", 1),
         compute_dtype=getattr(p, "compute_dtype", "float32"),
         n_importance=getattr(p, "n_importance", 0),
         use_fine_network=getattr(p, "use_fine_network", False),

@@ -309,3 +309,115 @@ class TestChunkedScanRemat:
             assert err < 1e-5, (k, err)
         err = float(jnp.max(jnp.abs(o0["coarse"]["rgb"] - o4["coarse"]["rgb"])))
         assert err < 1e-5
+
+
+class TestScStride:
+    """Strided solar-correction quadrature (RenderConfig.sc_stride): the sc
+    half marches every k-th z rung; the main half must be bit-invariant."""
+
+    def _cfg(self, stride, **kw):
+        fcfg = FieldConfig(variant="satnerf", mapping=False, siren=True, **SMALL)
+        return RenderConfig(
+            field=fcfg, n_samples=8, solar_correction=True,
+            sc_stride=stride, **kw,
+        )
+
+    def test_main_half_invariant_sc_shapes(self):
+        rc1, rc2 = self._cfg(1), self._cfg(2)
+        params = _params(rc1.field)
+        rays, extras = _rays()
+        o1 = render_rays(params, rc1, rays, extras, key=None)
+        o2 = render_rays(params, rc2, rays, extras, key=None)
+        # the main half sees the identical points/z ladder: bit-invariant
+        for k in ("rgb", "depth", "weights", "transparency", "sun", "sky"):
+            assert float(jnp.max(jnp.abs(o1[k] - o2[k]))) == 0.0, k
+        # sc half at half the rungs, anchored at the far end
+        assert o2["weights_sc"].shape == (16, 4)
+        assert o2["transparency_sc"].shape == (16, 4)
+        assert o2["sun_sc"].shape == (16, 4, 1)
+        assert o1["weights_sc"].shape == (16, 8)
+        for k in ("weights_sc", "transparency_sc", "sun_sc"):
+            assert bool(jnp.all(jnp.isfinite(o2[k])))
+        # the strided transmittance ladder subsamples the same sun march:
+        # its first rung equals the full ladder's second (z index 1)
+        assert float(jnp.max(jnp.abs(
+            o2["sun_sc"][:, 0] - o1["sun_sc"][:, 1]
+        ))) == 0.0
+
+    def test_remat_chunks_matches_unchunked(self):
+        rc = self._cfg(2)
+        rcm = self._cfg(2, remat_chunks=2)
+        params = _params(rc.field)
+        rays, extras = _rays()
+        o = render_rays(params, rc, rays, extras, key=None)
+        om = render_rays(params, rcm, rays, extras, key=None)
+        for k in ("rgb", "weights_sc", "transparency_sc", "sun_sc"):
+            err = float(jnp.max(jnp.abs(o[k] - om[k])))
+            assert err < 1e-5, (k, err)
+
+    def test_hierarchical_pass_strided(self):
+        rc = self._cfg(2, n_importance=8)
+        params = _params(rc.field)
+        rays, extras = _rays()
+        out = render_rays(params, rc, rays, extras, key=None)
+        # fine pass merges 8+8 rungs; stride 2 -> 8 sc rungs
+        assert out["weights_sc"].shape == (16, 8)
+        assert out["coarse"]["weights_sc"].shape == (16, 4)
+
+    def test_grads_flow(self):
+        from satnerf_tpu.train import losses
+
+        rc = self._cfg(2)
+        params = _params(rc.field)
+        rays, extras = _rays()
+
+        def loss_fn(p):
+            out = render_rays(p, rc, rays, extras, key=None)
+            gt = jnp.zeros_like(out["rgb"])
+            return losses.snerf_loss(out, gt, lambda_sc=0.05)[0]
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+    def test_term2_quadrature_invariant(self):
+        """A constant integrand gives the same compensated term2 at any
+        stride (the x(S/S_sc) rescale restores the full-ladder sum)."""
+        from satnerf_tpu.train.losses import solar_correction_terms
+
+        B, S = 4, 8
+        base = {
+            "weights": jnp.ones((B, S)) / S,
+        }
+        full = dict(base)
+        full["sun_sc"] = jnp.full((B, S, 1), 0.25)
+        full["transparency_sc"] = jnp.full((B, S), 0.75)
+        full["weights_sc"] = jnp.ones((B, S)) / S
+        half = dict(base)
+        half["sun_sc"] = jnp.full((B, S // 2, 1), 0.25)
+        half["transparency_sc"] = jnp.full((B, S // 2), 0.75)
+        half["weights_sc"] = jnp.ones((B, S // 2)) / (S // 2)
+        tf = solar_correction_terms(full, 0.05)
+        th = solar_correction_terms(half, 0.05)
+        assert abs(float(tf["coarse_sc_term2"] - th["coarse_sc_term2"])) < 1e-6
+        assert abs(float(tf["coarse_sc_term3"] - th["coarse_sc_term3"])) < 1e-6
+
+    def test_pallas_engine_strided_matches_xla(self):
+        """The fused pallas field handles the mixed-count flat batch
+        (B*S main + B*S_sc sc points) produced by sc_stride > 1."""
+        base = dict(variant="satnerf", mapping=False, siren=True,
+                    layers=2, feat=128, skips=(1,))
+        fx = FieldConfig(trunk_impl="xla", **base)
+        fp = FieldConfig(trunk_impl="pallas", **base)
+        rcx = RenderConfig(field=fx, n_samples=8, solar_correction=True,
+                           sc_stride=2)
+        rcp = RenderConfig(field=fp, n_samples=8, solar_correction=True,
+                           sc_stride=2)
+        params = _params(fx)
+        rays, extras = _rays()
+        ox = render_rays(params, rcx, rays, extras, key=None)
+        op = render_rays(params, rcp, rays, extras, key=None)
+        for k in ("rgb", "depth", "weights_sc", "transparency_sc", "sun_sc"):
+            err = float(jnp.max(jnp.abs(ox[k] - op[k])))
+            assert err < 2e-4, (k, err)

@@ -269,3 +269,31 @@ def test_tj_instead_of_beta_disables_uncertainty_losses():
         steps_per_epoch=4,
     )
     assert scfg.first_beta_epoch == 3
+
+
+def test_sc_stride_full_step_trains():
+    """sc_stride=2 through the full train step (rs_semantic, depth on):
+    loss finite and decreasing, and the knob threads from the pipeline
+    config into the render config."""
+    from dataclasses import replace
+
+    scfg = _scfg(depth=True)
+    scfg = replace(scfg, render=replace(scfg.render, sc_stride=2))
+    opt = make_optimizer(5e-3, steps_per_epoch=scfg.steps_per_epoch)
+    state = create_train_state(jax.random.PRNGKey(0), scfg.render.field, opt)
+    step = jax.jit(build_train_step(scfg, opt))
+    batch = _batch(depth=True)
+    first = None
+    for i in range(15):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if i == 0:
+            first = float(metrics["loss"])
+    assert np.isfinite(first)
+    assert float(metrics["loss"]) < first
+
+    from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
+    from satnerf_tpu.train.step import step_config_from_main
+
+    cfg = MainConfig(RunConfig(), RSSemanticConfig(sc_stride=4))
+    sc = step_config_from_main(cfg, steps_per_epoch=4, n_classes=5)
+    assert sc.render.sc_stride == 4

@@ -42,6 +42,11 @@ def main(argv=None):
              "exact); drives the paired-seed sine quality-gate runs "
              "(docs/performance.md 'degree-5 sine')",
     )
+    ap.add_argument(
+        "--sc-stride", type=int, default=1,
+        help="solar-correction quadrature stride (1 = reference-exact full "
+             "ladder); drives the paired-seed sc_stride quality-gate runs",
+    )
     ap.add_argument("--steps-per-dispatch", type=int, default=4)
     ap.add_argument(
         "--eval-at", default="",
@@ -92,6 +97,7 @@ def main(argv=None):
         lambda_c=1.0,
         compute_dtype=args.dtype,
         sin_impl=args.sin_impl,
+        sc_stride=args.sc_stride,
     )
     cfg = MainConfig(run, pipe)
     pipeline = load_pipeline(cfg)
