@@ -93,10 +93,11 @@ CONFIG_DESC = (
     f"batch{BATCH_SIZE}/{TRUNK_IMPL}/chunks{REMAT_CHUNKS}/bf16"
     + ("" if SIN_IMPL == "poly" else f"/{SIN_IMPL}")
     + ("" if TRUNK_BWD == "recompute" else f"/bwd-{TRUNK_BWD}")
+    + ("" if SC_STRIDE == 1 else f"/sc{SC_STRIDE}")
 )
 IS_DEFAULT_CONFIG = (
-    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL, TRUNK_BWD)
-    == (8192, "xla", 0, "poly", "recompute")
+    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL, TRUNK_BWD, SC_STRIDE)
+    == (8192, "xla", 0, "poly", "recompute", 1)
 )
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 

@@ -52,10 +52,20 @@ def eval_all(
     epoch: int = -1,
     chunk: int = 16384,
 ):
-    # orbax rejects relative checkpoint paths; anchor everything up front
+    # orbax rejects relative checkpoint paths; anchor everything up front.
+    # Validate the input BEFORE creating any output tree so a typo'd run
+    # path fails fast instead of scattering empty directories.
     input_dp = os.path.abspath(input_dp)
-    if output_dp is None:
-        output_dp = os.getenv(EVAL_DP_ENV) or os.getenv(EVAL_DP_ENV_COMPAT)
+    if not os.path.isdir(input_dp):
+        raise FileNotFoundError(f"run/experiment dir not found: {input_dp}")
+    env_output = os.getenv(EVAL_DP_ENV) or os.getenv(EVAL_DP_ENV_COMPAT)
+    if output_dp is None and env_output:
+        # env-provided target: points at a pre-created shared eval area by
+        # convention — fail fast on a typo rather than creating a new tree
+        output_dp = env_output
+        assert os.path.isdir(output_dp), (
+            f"${EVAL_DP_ENV}={output_dp} is not a directory"
+        )
     if output_dp is None:
         # bare `eval <run_dp>`: keep the battery self-contained in the run
         output_dp = os.path.join(input_dp, "eval_battery")

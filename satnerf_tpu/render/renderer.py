@@ -168,22 +168,31 @@ def _render_pass(
     run_sc = rcfg.solar_correction and fcfg.has_sun
     sc_stride = max(int(rcfg.sc_stride), 1) if run_sc else 1
     split_sc = run_sc and sc_stride > 1
+    if split_sc and sc_stride > S // 2:
+        # degenerate quadrature: fewer than 2 sc rungs would kill the sc
+        # terms silently (a 1-sample ladder composites to empty weights)
+        raise ValueError(
+            f"sc_stride={sc_stride} leaves <2 sc rungs on a {S}-sample "
+            f"ladder; use sc_stride <= n_samples // 2"
+        )
     if run_sc:
         # solar-correction sample points: the (possibly strided) z ladder
         # marched along the sun direction from the ray origin
-        # (ref: rendering.py:47-50; stride anchored at the far end so the
+        # (ref: rendering.py:47-50; stride anchored at the far end — the
+        # (S-1)%k offset includes the last rung for any stride — so the
         # transmittance integral still reaches the full depth range)
         origins = ray_component(rays, "origins")
-        z_sc = z_vals[..., sc_stride - 1 :: sc_stride] if split_sc else z_vals
+        z_sc = (
+            z_vals[..., (S - 1) % sc_stride :: sc_stride]
+            if split_sc else z_vals
+        )
         S_sc = z_sc.shape[-1]
         xyz_sc = origins[:, None, :] + sun_d[:, None, :] * z_sc[..., None]
         pts = jnp.concatenate(
             [xyz.reshape(-1, 3), xyz_sc.reshape(-1, 3)], axis=0
         )
-        n_eval = 2 * B
     else:
         pts = xyz.reshape(-1, 3)
-        n_eval = B
 
     def tile(x):
         if x is None:
@@ -252,30 +261,18 @@ def _render_pass(
         """Head outputs are pruned to the main (non-sc) half: (B*S, ...)."""
         return _unflat(x, B, S)
 
-    if split_sc:
-        # strided sc ladder: the halves have different sample counts, so
-        # each composites against its own z ladder
-        n_main = B * S
-        sig_m = _unflat(raw["sigma"][:n_main], B, S)
+    # each half composites against its own z ladder (convert_sigmas is
+    # row-wise, so two (B, S) calls are bit-identical to the concatenated
+    # (2B, S) call this replaces)
+    n_main = B * S
+    sig_m = _unflat(raw["sigma"][:n_main], B, S)
+    w_m, depth_m, transp_m, _ = convert_sigmas(sig_m, z_vals)
+    if fcfg.has_sun:
+        sun_m = _unflat(raw["sun_v"][:n_main], B, S)
+    if run_sc:
         sig_sc = _unflat(raw["sigma"][n_main:], B, S_sc)
-        w_m, depth_m, transp_m, _ = convert_sigmas(sig_m, z_vals)
         w_sc, _, transp_sc, _ = convert_sigmas(sig_sc, z_sc)
-        if fcfg.has_sun:
-            sun_m = _unflat(raw["sun_v"][:n_main], B, S)
-            sun_sc_v = _unflat(raw["sun_v"][n_main:], B, S_sc)
-    else:
-        sigmas = _unflat(raw["sigma"], n_eval, S)
-        z_all = jnp.concatenate([z_vals, z_vals], axis=0) if run_sc else z_vals
-        weights, depth, transparency, _ = convert_sigmas(sigmas, z_all)
-        sig_m = sigmas[:B]
-        w_m, depth_m, transp_m = weights[:B], depth[:B], transparency[:B]
-        if run_sc:
-            w_sc, transp_sc = weights[B:], transparency[B:]
-        if fcfg.has_sun:
-            sun_all = _unflat(raw["sun_v"], n_eval, S)
-            sun_m = sun_all[:B]
-            if run_sc:
-                sun_sc_v = sun_all[B:]
+        sun_sc_v = _unflat(raw["sun_v"][n_main:], B, S_sc)
 
     albedo = unflat_m(raw["rgb"])
     result = {

@@ -200,3 +200,15 @@ def test_study_cli(trained_run, tmp_path):
     assert rec.shape[0] == np.isfinite(arr[0]).sum()
     zs = rec["z"]
     assert np.nanmin(arr[0]) - 1e-3 <= zs.min() and zs.max() <= np.nanmax(arr[0]) + 1e-3
+
+
+def test_eval_all_typo_path_fails_fast(tmp_path):
+    """A typo'd input path raises before any output tree is created."""
+    import pytest as _pytest
+
+    from satnerf_tpu.eval.eval import eval_all
+
+    bad = str(tmp_path / "no_such_run")
+    with _pytest.raises(FileNotFoundError):
+        eval_all(bad, splits="test")
+    assert not os.path.exists(os.path.join(bad, "eval_battery"))

@@ -421,3 +421,28 @@ class TestScStride:
         for k in ("rgb", "depth", "weights_sc", "transparency_sc", "sun_sc"):
             err = float(jnp.max(jnp.abs(ox[k] - op[k])))
             assert err < 2e-4, (k, err)
+
+    def test_non_divisible_stride_far_anchored(self):
+        """stride 3 on an 8-rung ladder: the sc march still includes the
+        deepest rung ((S-1)%k offset), so the transmittance integral
+        reaches the full depth range."""
+        rc1, rc3 = self._cfg(1), self._cfg(3)
+        params = _params(rc1.field)
+        rays, extras = _rays()
+        o1 = render_rays(params, rc1, rays, extras, key=None)
+        o3 = render_rays(params, rc3, rays, extras, key=None)
+        assert o3["sun_sc"].shape == (16, 3, 1)  # indices 1, 4, 7
+        assert float(jnp.max(jnp.abs(
+            o3["sun_sc"][:, -1] - o1["sun_sc"][:, -1]
+        ))) == 0.0
+
+    def test_degenerate_stride_rejected(self):
+        """Strides leaving <2 sc rungs would silently kill the sc loss —
+        rejected at trace time."""
+        import pytest as _pytest
+
+        rc = self._cfg(5)  # 8-rung ladder: 5 > 8//2
+        params = _params(rc.field)
+        rays, extras = _rays()
+        with _pytest.raises(ValueError, match="sc_stride"):
+            render_rays(params, rc, rays, extras, key=None)
