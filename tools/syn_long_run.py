@@ -42,6 +42,16 @@ def main(argv=None):
     # drops to batch 4096 + remat_chunks=2 when enabled.
     ap.add_argument("--n-importance", type=int, default=0)
     ap.add_argument("--use-fine-network", action="store_true")
+    # solar-correction quadrature stride (docs/performance.md "sc_stride"):
+    # 1 = reference-exact full ladder (flagship default); 2 = the gate-passed
+    # recommended throughput config. The main pass is bit-invariant to the
+    # knob, so same-seed runs consume identical ray streams (paired).
+    ap.add_argument("--sc-stride", type=int, default=1)
+    # smoke-test overrides (default None = production sizes: batch 8192,
+    # 8x512 trunk; hier mode drops batch to 4096). Lets the launcher be
+    # driven end-to-end on CPU with tiny shapes.
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--units", type=int, default=None)
     args = ap.parse_args(argv)
 
     os.makedirs(args.out_root, exist_ok=True)
@@ -71,7 +81,11 @@ def main(argv=None):
         deterministic=True,
         seed=args.seed,
         steps_per_dispatch=8,
-        run_name_postfix="hier" if args.n_importance > 0 else "",
+        run_name_postfix=(
+            "hier" if args.n_importance > 0
+            else f"sc{args.sc_stride}" if args.sc_stride != 1
+            else ""
+        ),
     )
     pipe_kwargs = dict(
         batch_size=8192,
@@ -80,6 +94,7 @@ def main(argv=None):
         use_car_reg_loss=True,
         car_reg_loss_start=3,
         lambda_c=1.0,
+        sc_stride=args.sc_stride,
     )
     if args.n_importance > 0:
         pipe_kwargs.update(
@@ -88,6 +103,10 @@ def main(argv=None):
             batch_size=4096,
             remat_chunks=2,
         )
+    if args.batch is not None:
+        pipe_kwargs["batch_size"] = args.batch
+    if args.units is not None:
+        pipe_kwargs["fc_units"] = args.units
     pipe = RSSemanticConfig(**pipe_kwargs)
     cfgs = MainConfig(run, pipe)
     _apply_matmul_precision(run.matmul_precision)
