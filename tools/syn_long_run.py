@@ -48,10 +48,15 @@ def main(argv=None):
     # knob, so same-seed runs consume identical ray streams (paired).
     ap.add_argument("--sc-stride", type=int, default=1)
     # smoke-test overrides (default None = production sizes: batch 8192,
-    # 8x512 trunk; hier mode drops batch to 4096). Lets the launcher be
-    # driven end-to-end on CPU with tiny shapes.
+    # 8x512 trunk, 8+3-view 256^2 scene with 16k tie points; hier mode
+    # drops batch to 4096). Lets the launcher be driven end-to-end on CPU
+    # with tiny shapes (tests/test_tools.py).
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--units", type=int, default=None)
+    ap.add_argument("--img-size", type=int, default=256)
+    ap.add_argument("--n-train", type=int, default=8)
+    ap.add_argument("--n-test", type=int, default=3)
+    ap.add_argument("--tie-points", type=int, default=16000)
     args = ap.parse_args(argv)
 
     os.makedirs(args.out_root, exist_ok=True)
@@ -59,10 +64,14 @@ def main(argv=None):
     if not os.path.isfile(os.path.join(scene_dp, "root.json")):
         from satnerf_tpu.datasets.synthetic import generate_scene
 
-        print("[syn_long] generating 8+3-view 256^2 scene ...", flush=True)
+        print(
+            f"[syn_long] generating {args.n_train}+{args.n_test}-view "
+            f"{args.img_size}^2 scene ...", flush=True,
+        )
         generate_scene(
-            scene_dp, n_train=8, n_test=3, img_size=256,
-            n_tie_points=16000, aoi_name="SYN_LONG", seed=0,
+            scene_dp, n_train=args.n_train, n_test=args.n_test,
+            img_size=args.img_size, n_tie_points=args.tie_points,
+            aoi_name="SYN_LONG", seed=0,
         )
 
     from satnerf_tpu.configs import MainConfig, RSSemanticConfig, RunConfig
