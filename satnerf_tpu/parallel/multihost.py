@@ -7,6 +7,14 @@ multi-slice deployments, every host runs the SAME training program
 env vars, after which ``jax.devices()`` spans all hosts, the 1-D data mesh
 covers the pod, and each host feeds only its addressable shard of the batch.
 
+Pod runs must point every process at the SAME ``run.run_dp`` (the Trainer
+enforces this); host-side artifacts in it — TB events, config dump, log
+file, profiler/trace dumps, validation TIFs/DSMs — are written by process 0
+only (the lead-writer convention), while compute, including validation
+renders, runs on every process as one SPMD program. Checkpoint saves are
+orbax collectives: every process calls them (with broadcast-synchronised
+best-mae decisions) and orbax writes from the primary host internally.
+
 The reference has no multi-host story at all (SURVEY.md §2.7: tmux
 process-per-GPU for independent experiments); here scale-out of ONE training
 run is a first-class path, while independent-experiment scale-out remains

@@ -31,9 +31,21 @@ class Pipeline:
 
     # -- run dir (ref: pipelines.py:48-74) ---------------------------------
     def prepare_run(self) -> str:
+        import jax
+
+        if jax.process_count() > 1 and not self.cfg.run.run_dp:
+            # timestamp+collision-suffix naming is per-process: without an
+            # explicit shared run_dp each pod process would invent its own
+            # run directory and the run's artifacts would scatter
+            raise ValueError(
+                "multi-process runs must set run.run_dp to a shared directory"
+            )
         run_dp = self.cfg.create_run_dp()
-        self.cfg.dump(os.path.join(run_dp, "configs"))
-        logger.attach_file_handler(run_dp)
+        if jax.process_index() == 0:
+            # pod runs: config dump + the log file belong to process 0 (the
+            # same lead-writer convention as checkpoints/TB, train/loop.py)
+            self.cfg.dump(os.path.join(run_dp, "configs"))
+            logger.attach_file_handler(run_dp)
         logger.info("Run", f"run directory: {run_dp}")
         return run_dp
 

@@ -391,6 +391,11 @@ def render_image_chunked(
         if pad:
             r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)], axis=0)
             e = np.concatenate([e, np.repeat(e[-1:], pad, axis=0)], axis=0)
+        if mesh is not None:
+            # multi-process pods reject raw numpy args under a non-trivial
+            # in_sharding; an uncommitted jax.Array (same value on every
+            # process, like the train step's index feed) shards cleanly
+            r, e = jnp.asarray(r), jnp.asarray(e)
         res = fn(params, r, e)
         # hierarchical sampling nests the coarse pass as a dict; surface the
         # per-ray outputs eval consumers read as "<k>_coarse" keys (the
@@ -438,6 +443,11 @@ def _eval_chunk_fn(rcfg: RenderConfig, mesh=None):
                     NamedSharding(mesh, P("data")),
                     NamedSharding(mesh, P("data")),
                 ),
+                # replicate the (small, per-ray) outputs: on a multi-process
+                # pod a ray-sharded output is not fully addressable and the
+                # host-side np.asarray in render_image_chunked would raise;
+                # the gather rides ICI and costs ~nothing next to the render
+                out_shardings=NamedSharding(mesh, P()),
             )
     return _EVAL_FN_CACHE[cache_key]
 

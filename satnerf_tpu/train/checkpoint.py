@@ -29,6 +29,12 @@ class CheckpointManager:
 
     # -- save ----------------------------------------------------------------
     def _save(self, name: str, state: TrainState) -> None:
+        # pod runs: orbax's save is a COLLECTIVE in multi-process mode (it
+        # barriers internally and writes from the primary host only), so
+        # every process must call it, with identical decisions — gating it
+        # to process 0 deadlocks process 0 in orbax's barrier. Decision
+        # symmetry for best-mae is provided by the validate()-side broadcast
+        # (train/loop.py).
         path = os.path.join(self.ckpt_dp, name)
         state = jax.device_get(state)
         self._ckptr.save(path, {"params": state.params,

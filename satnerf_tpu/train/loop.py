@@ -172,7 +172,20 @@ class Trainer:
             pipeline.load_datasets()
         run_dp = cfg.run.run_dp or pipeline.prepare_run()
 
-        if self.writer is None:
+        # Multi-process pod runs share one run directory; host-side artifact
+        # writers (TB events, profiler/trace dumps, validation files) belong
+        # to process 0 only — the standard JAX multihost convention.
+        # Concurrent writers are not just redundant: two processes
+        # constructing SummaryWriter on the same fresh dir race on
+        # tensorboardX's exists-then-makedirs check. Checkpoint saves are the
+        # one exception: orbax save is itself a multi-process collective
+        # (primary-host writes internally), so every process calls it with
+        # broadcast-synchronised decisions (see validate / checkpoint.py).
+        # Compute, including validation renders, runs on every process.
+        lead = jax.process_index() == 0
+        if not lead:
+            self.trace.dir = None  # shared-dir trace capture is lead-only
+        if self.writer is None and lead:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -437,7 +450,8 @@ class Trainer:
                 "Run", "stop requested (signal or API); checkpointed to last"
             )
         self.trace.close()
-        self.profiler.dump(os.path.join(run_dp, "profiler"))
+        if lead:
+            self.profiler.dump(os.path.join(run_dp, "profiler"))
         final_step = int(jax.device_get(state.step))
         assert final_step == step_i or self._stop_requested, (final_step, step_i)
         logger.info(
@@ -477,7 +491,12 @@ class Trainer:
         # keep params device-resident: pulling them to host would re-upload
         # the full pytree on every render chunk (ruinous over a remote tunnel)
         params = state.params
-        visualizers = pipeline.visualizers() if not sanity else []
+        # pod runs: renders/metrics run on every process (SPMD), but file
+        # outputs (visualizer TIFs, DSM products) are written by process 0
+        # only — render_image_chunked returns host numpy, so skipping the
+        # write-side entirely on non-lead processes involves no collective.
+        lead = jax.process_index() == 0
+        visualizers = pipeline.visualizers() if (not sanity and lead) else []
         out: dict = {}
         test_psnrs: list[float] = []
         chunk = max(
@@ -520,7 +539,7 @@ class Trainer:
                     f"val/{tag}", np.moveaxis(img_stack, -1, 0), display_epoch
                 )
 
-            if i <= 1 and not sanity:
+            if i <= 1 and not sanity and lead:
                 output_dp = os.path.join(
                     cfg.run.run_dp, "visualization", split, "dsm"
                 )
@@ -538,6 +557,22 @@ class Trainer:
                     logger.warning("Validate", f"DSM/MAE failed: {exc}")
 
             out[f"{split}/psnr_{sample_idx}"] = psnr
+        if jax.process_count() > 1:
+            # DSM/MAE is computed (and its files written) on the lead only;
+            # checkpoint saves are orbax COLLECTIVES, so the best-mae save
+            # decision must be identical on every process — broadcast the
+            # lead's MAE values. All processes reach this point (validate
+            # runs as part of the SPMD program), so the collective is safe.
+            from jax.experimental import multihost_utils
+
+            mae_keys = ("train/mae", "test/mae")
+            vals = np.array(
+                [out.get(k, np.nan) for k in mae_keys], np.float32
+            )
+            vals = np.asarray(multihost_utils.broadcast_one_to_all(vals))
+            for k, v in zip(mae_keys, vals):
+                if np.isfinite(v):
+                    out[k] = float(v)
         if test_psnrs:
             out["test/psnr"] = float(np.mean(test_psnrs))
             if self.writer is not None:

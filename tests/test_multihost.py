@@ -105,7 +105,9 @@ pipeline = load_pipeline(cfg)
 pipeline.prepare_run()
 pipeline.load_datasets()
 trainer = Trainer(pipeline, log_every=100)
-state = trainer.fit(validate_every_epoch=False)
+# validation on: the end-of-run validate exercises the pod render path
+# (sharded chunks with replicated outputs) + lead-only artifact writes
+state = trainer.fit(validate_every_epoch=True)
 
 from jax.flatten_util import ravel_pytree
 
@@ -205,8 +207,16 @@ def test_two_process_trainer_smoke(tmp_path):
         # must reproduce the single-process trajectory to float tolerance
         assert abs(p_sum - s_sum) / s_sum < 1e-6, (pid, p_sum, s_sum)
         assert abs(p_loss - s_loss) < 1e-5, (pid, p_loss, s_loss)
-    # pod-style shared run dir got exactly one set of artifacts
-    assert os.path.isdir(os.path.join(pod_ws, "pod_run", "ckpoints", "last"))
+    # pod-style shared run dir got exactly one set of artifacts: process 0
+    # owns TB events / checkpoints / validation outputs (lead-writer
+    # convention); a second writer would race tensorboardX's dir creation
+    # and corrupt concurrent orbax saves
+    pod_run = os.path.join(pod_ws, "pod_run")
+    assert os.path.isdir(os.path.join(pod_run, "ckpoints", "last"))
+    events = [f for f in os.listdir(os.path.join(pod_run, "tb"))
+              if f.startswith("events")]
+    assert len(events) == 1, events
+    assert os.path.isdir(os.path.join(pod_run, "visualization"))
 
 
 def test_two_process_distributed_smoke(tmp_path):
