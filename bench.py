@@ -53,12 +53,12 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 10_240.0
 
-# Most recent verified measurement on this hardware (2026-08-19 23:19
+# Most recent verified measurement on this hardware (2026-08-20 09:31
 # post-reboot probe, honest scan+readback timing, batch 8192 bf16, sc head
 # pruning + minimax sine): reported with "stale": true if the live run
 # cannot complete (e.g. the single-tenant TPU tunnel is held by another
 # client).
-LAST_KNOWN_RAYS_PER_SEC = 42_915.1
+LAST_KNOWN_RAYS_PER_SEC = 42_925.3
 
 # Production config; overridable for large-batch / impl experiments:
 #   SATNERF_BENCH_BATCH=16384 SATNERF_BENCH_IMPL=pallas python bench.py
