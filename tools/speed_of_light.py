@@ -67,6 +67,10 @@ def main(argv=None):
     ap.add_argument("--peak-tflops", type=float, default=394.0)
     ap.add_argument("--sin", default="poly",
                     choices=["poly", "poly5", "poly7f"])
+    ap.add_argument("--sc-stride", type=int, default=1,
+                    help="solar-correction quadrature stride (2 = the "
+                         "gate-passed production config); scales the "
+                         "per-step point count the FLOP accounting uses")
     args = ap.parse_args(argv)
 
     import jax
@@ -78,8 +82,10 @@ def main(argv=None):
               "poly7f": fast_sin7f}[args.sin]
 
     dt = jnp.dtype(args.dtype)
-    # per-step field points: main half + solar-correction half
-    n_points = args.batch * args.samples * 2
+    # per-step field points: main half + solar-correction half (every
+    # sc_stride-th z rung on the sc half; renderer.py sc_stride quadrature)
+    n_sc = -(-args.batch * args.samples // max(args.sc_stride, 1))
+    n_points = args.batch * args.samples + n_sc
     xyz_in = 63  # posenc(10 freqs) of xyz + raw (rs_semantic mapping)
     feat, layers, skip = args.feat, args.layers, {4}
     scan_k = args.scan
@@ -138,7 +144,8 @@ def main(argv=None):
     fcfg = FieldConfig(variant="rs_semantic", mapping=True, siren=True,
                        n_classes=5, sin_impl=args.sin)
     rcfg = RenderConfig(field=fcfg, n_samples=args.samples,
-                        solar_correction=True, compute_dtype=args.dtype)
+                        solar_correction=True, compute_dtype=args.dtype,
+                        sc_stride=args.sc_stride)
     scfg = StepConfig(render=rcfg, steps_per_epoch=1000, sc_lambda=0.05,
                       first_beta_epoch=0, depth=True, semantic=True,
                       car_index=4, use_car_reg_loss=True, car_reg_loss_start=0)
@@ -194,6 +201,7 @@ def main(argv=None):
     print(json.dumps({
         "config": {
             "batch": args.batch, "samples": args.samples, "dtype": args.dtype,
+            "sc_stride": args.sc_stride,
             "points_per_step": n_points, "gemm_flops_per_step": gemm_flops,
             "peak_tflops": args.peak_tflops,
             "backend": jax.default_backend(),
