@@ -16,9 +16,12 @@ to see how far the step is from the hardware ceiling and which gap
 (sine / non-GEMM epilogue / backward) is worth attacking next.
 
 Usage:  python tools/speed_of_light.py [--batch 8192] [--samples 64]
-            [--dtype bfloat16] [--scan 30] [--peak-tflops 394]
-(peak default: v5e bf16 197 TFLOP/s per MXU x 2? — set your chip's number;
-v5e ~394 bf16 TFLOP/s, v4 ~275.)
+            [--dtype bfloat16] [--scan 30] [--peak-tflops 197]
+            [--sc-stride 2]
+(peak default 197 = v5e bf16; its oft-quoted 394 figure is int8. v4 ~275
+bf16. Measured 2026-08-20 on this v5e: the bare production GEMM chain hits
+164.6 TFLOP/s = 84% of the 197 bf16 peak, which corroborates 197 as the
+correct denominator — 394 would put a pure large-GEMM chain at 42%.)
 """
 
 from __future__ import annotations
@@ -64,7 +67,9 @@ def main(argv=None):
     ap.add_argument("--scan", type=int, default=30)
     ap.add_argument("--feat", type=int, default=512)
     ap.add_argument("--layers", type=int, default=8)
-    ap.add_argument("--peak-tflops", type=float, default=394.0)
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip bf16 peak; v5e is 197 TFLOP/s bf16 (394 is "
+                         "its int8 number), v4 ~275 bf16")
     ap.add_argument("--sin", default="poly",
                     choices=["poly", "poly5", "poly7f"])
     ap.add_argument("--sc-stride", type=int, default=1,
