@@ -499,8 +499,15 @@ class Trainer:
         visualizers = pipeline.visualizers() if (not sanity and lead) else []
         out: dict = {}
         test_psnrs: list[float] = []
+        # Chunk is in RAYS. The configured render_chunk_size is the
+        # reference's points-per-chunk GPU-memory knob (÷ n_samples), but
+        # flooring at its tiny default (40960/64 = 640 rays) makes big-image
+        # validation TUNNEL-LATENCY-bound: a 768² image at 1024 rays/chunk
+        # is ~576 round trips ≈ minutes/image (measured, round-4 dress
+        # rehearsal). The sc-free validation render comfortably fits 8192
+        # rays on-chip, so floor there: 72 round trips for the same image.
         chunk = max(
-            1024, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
+            8192, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
         )
 
         mesh = getattr(self, "_mesh", None)
