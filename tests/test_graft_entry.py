@@ -38,7 +38,10 @@ def test_dryrun_green_driver_shaped():
     assert proc.returncode == 0, out
     assert "dryrun_multichip(4): start" in out  # heartbeat before any jax
     assert "spawning -S cpu child" in out
-    assert "dryrun_multichip(4): loss=" in out and "ok" in out
+    # the artifact must carry the 1-dev-vs-n-dev parity evidence (round-4
+    # verdict item 3), not just an executes-check
+    assert "dryrun_multichip(4): loss=" in out and "parity ok" in out
+    assert "1dev=" in out and "dloss=" in out and "max_dparam=" in out
     # -S child: the sitecustomize PJRT plugin must never have loaded
     assert "Platform 'axon' is experimental" not in out
 
