@@ -93,6 +93,18 @@ BATCH_SIZE = int(os.environ.get("SATNERF_BENCH_BATCH", 8192))
 DEPTH_RAYS = 1024
 TRUNK_IMPL = os.environ.get("SATNERF_BENCH_IMPL", "xla")
 REMAT_CHUNKS = int(os.environ.get("SATNERF_BENCH_REMAT_CHUNKS", 0))
+# Hierarchical (coarse-to-fine) fine-pass bench: SATNERF_BENCH_HIER=<N>
+# enables use_fine_network with N PDF-resampled fine rungs (the production
+# hier config is N=128: 64 coarse + 64+128 fine field points per ray).
+# The stored-activation backward exceeds HBM at batch 8192 in this mode,
+# so unless overridden the bench drops to the hier production settings
+# batch 4096 + remat_chunks=2 (tools/syn_long_run.py does the same).
+HIER_N_IMPORTANCE = int(os.environ.get("SATNERF_BENCH_HIER", 0))
+if HIER_N_IMPORTANCE > 0:
+    if "SATNERF_BENCH_BATCH" not in os.environ:
+        BATCH_SIZE = 4096
+    if "SATNERF_BENCH_REMAT_CHUNKS" not in os.environ:
+        REMAT_CHUNKS = 2
 SIN_IMPL = os.environ.get("SATNERF_BENCH_SIN", "poly")
 if SIN_IMPL == "auto":  # resolve like train/step.py: quality-safe kernel
     SIN_IMPL = "poly"
@@ -121,10 +133,12 @@ CONFIG_DESC = (
     + ("" if SIN_IMPL == "poly" else f"/{SIN_IMPL}")
     + ("" if TRUNK_BWD == "recompute" else f"/bwd-{TRUNK_BWD}")
     + ("" if SC_STRIDE == 1 else f"/sc{SC_STRIDE}")
+    + ("" if HIER_N_IMPORTANCE == 0 else f"/hier{HIER_N_IMPORTANCE}")
 )
 IS_DEFAULT_CONFIG = (
-    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL, TRUNK_BWD, SC_STRIDE)
-    == (8192, "xla", 0, "poly", "recompute", 2)
+    (BATCH_SIZE, TRUNK_IMPL, REMAT_CHUNKS, SIN_IMPL, TRUNK_BWD, SC_STRIDE,
+     HIER_N_IMPORTANCE)
+    == (8192, "xla", 0, "poly", "recompute", 2, 0)
 )
 SCAN_STEPS = 50  # long enough to amortise the ~0.4 s tunnel readback
 
@@ -152,6 +166,19 @@ def _write_last_live(rays_per_sec: float, ms_per_step: float) -> None:
     """Atomically persist a successful default-config live measurement so
     later stale fallbacks report a machine-recorded number, not a
     hand-edited constant."""
+    # Plausibility guard (round-5, ADVICE): a run that completed while the
+    # single-tenant tunnel was contended can be artificially slow yet exit 0;
+    # don't let it DEPRESS the stale-fallback artifact below half of the
+    # best known-healthy number. (Upward moves always persist.)
+    floor = 0.5 * max(LAST_KNOWN_RAYS_PER_SEC, _read_last_live()[0])
+    if rays_per_sec < floor:
+        print(
+            f"bench: measured {rays_per_sec:.0f} rays/s is implausibly low "
+            f"(< half the known-healthy number); keeping the existing "
+            f"live-probe artifact as the stale fallback",
+            file=sys.stderr,
+        )
+        return
     payload = {
         "rays_per_sec": round(rays_per_sec, 1),
         "ms_per_step": round(ms_per_step, 2),
@@ -224,6 +251,8 @@ def main(deadline_s: float | None = None, phase_path: str | None = None) -> None
         field=fcfg, n_samples=64, solar_correction=True,
         compute_dtype="bfloat16", remat_chunks=REMAT_CHUNKS,
         sc_stride=SC_STRIDE,
+        n_importance=HIER_N_IMPORTANCE,
+        use_fine_network=HIER_N_IMPORTANCE > 0,
     )
     scfg = StepConfig(
         render=rcfg, steps_per_epoch=1000, sc_lambda=0.05, first_beta_epoch=0,
@@ -231,7 +260,8 @@ def main(deadline_s: float | None = None, phase_path: str | None = None) -> None
         car_reg_loss_start=0,
     )
     opt = make_optimizer(5e-4, steps_per_epoch=1000)
-    state = create_train_state(jax.random.PRNGKey(0), fcfg, opt, t_vocab=50)
+    state = create_train_state(jax.random.PRNGKey(0), fcfg, opt, t_vocab=50,
+                               use_fine_network=HIER_N_IMPORTANCE > 0)
     step = build_train_step(scfg, opt)
 
     batch = jax.device_put(_batch(BATCH_SIZE, depth=DEPTH_RAYS))
@@ -275,20 +305,27 @@ def main(deadline_s: float | None = None, phase_path: str | None = None) -> None
     if IS_DEFAULT_CONFIG:
         _write_last_live(rays_per_sec, best / SCAN_STEPS * 1e3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-                "config": CONFIG_DESC,
-            }
+    line = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "config": CONFIG_DESC,
+    }
+    if SC_STRIDE != 1:
+        # self-contained comparability note (ADVICE round-4): the scored
+        # config evaluates 1/SC_STRIDE of the solar-correction quadrature
+        # rungs; reference-exact work-per-ray is SC_STRIDE=1.
+        line["quadrature"] = (
+            f"sc_stride={SC_STRIDE} gate-passed strided sc quadrature "
+            f"(docs/performance.md); reference-exact is sc_stride=1 "
+            f"(~42.9k rays/s on this chip)"
         )
-    )
+    print(json.dumps(line))
 
 
-def _run_attempt(join_s: float, child_deadline_s: float) -> dict:
+def _run_attempt(join_s: float, child_deadline_s: float,
+                 grace_s: float = 60.0) -> dict:
     """One guarded child run; returns {"ok", "exit", "elapsed_s", "phase"}.
 
     The child bounds itself between trials (safe points); if it is stuck
@@ -309,7 +346,7 @@ def _run_attempt(join_s: float, child_deadline_s: float) -> dict:
         if proc.is_alive():
             killed = True
             proc.terminate()  # SIGTERM first: lets the runtime unwind cleanly
-            proc.join(60.0)
+            proc.join(grace_s)
             if proc.is_alive():
                 proc.kill()
                 proc.join()
@@ -358,20 +395,34 @@ def _guarded_main(timeout_s: float = 720.0, retry_backoff_s: float = 150.0) -> N
             break
         if len(attempts) >= 2:
             break
-        join_s = min(430.0, max(60.0, remaining - 20.0))
-        res = _run_attempt(join_s, child_deadline_s=join_s * 0.9)
+        # cap at the remaining budget (never floor past it: a hung first
+        # attempt must not overrun a small timeout_s, ADVICE round-4). A
+        # fast-failing attempt (e.g. UNAVAILABLE at init) still fits a tiny
+        # budget and yields diagnostics; only a truly spent budget skips.
+        join_s = min(430.0, remaining - 20.0)
+        if join_s < 5.0:
+            break
+        # SIGTERM grace before SIGKILL: scaled into the remaining budget but
+        # never below 15 s — SIGKILL mid-step wedges the single-tenant grant
+        grace_s = min(60.0, max(15.0, remaining - join_s))
+        res = _run_attempt(join_s, child_deadline_s=join_s * 0.9,
+                           grace_s=grace_s)
         if res["ok"]:
             return
         attempts.append(res)
         remaining = timeout_s - (time.time() - t0)
-        if len(attempts) < 2 and remaining > MIN_LIVE_WINDOW + retry_backoff_s:
+        if len(attempts) < 2 and remaining > MIN_LIVE_WINDOW:
+            # scale the backoff down to fit the remaining budget rather than
+            # retrying immediately against a still-contended grant
+            backoff = min(retry_backoff_s, remaining - MIN_LIVE_WINDOW)
             print(
                 f"bench: attempt {len(attempts)} failed "
                 f"(exit={res['exit']}, phase={res['phase']!r}); retrying "
-                f"after {retry_backoff_s:.0f}s backoff",
+                f"after {backoff:.0f}s backoff",
                 file=sys.stderr,
             )
-            time.sleep(retry_backoff_s)
+            if backoff > 0:
+                time.sleep(backoff)
 
     value, cfg, recorded_at = _read_last_live()
     print(

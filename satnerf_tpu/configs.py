@@ -63,6 +63,12 @@ class RunConfig(BaseModel):
     # resume
     resume_from_ckpoint: bool = False
     ckpoint_fp: Optional[str] = None
+    # warm start: load PARAMS ONLY from a checkpoint directory (fresh
+    # optimizer state, step 0) — the reference's ckpoint_fp partial-transfer
+    # flow (ref: framework/util/load_ckpoint.py:94-129). When the target
+    # model is hierarchical and the source checkpoint has no fine field,
+    # the fine field is seeded from the trained coarse field.
+    warm_start_fp: Optional[str] = None
 
     run_name_postfix: str = ""
     experiment_category: str = ""
@@ -100,6 +106,12 @@ class NeRFConfig(BaseModel):
     use_fine_network: bool = False
     n_importance: int = 0
     render_chunk_size: int = 40960
+    # validation render chunk in RAYS. 0 = auto: floor the reference's
+    # points-per-chunk knob (render_chunk_size / n_samples) at 8192 rays so
+    # big-image validation is not tunnel-latency-bound (train/loop.py). Set
+    # explicitly to keep a small chunk as a memory escape hatch (e.g.
+    # hierarchical eval with n_importance fine rungs tripling points/ray).
+    val_chunk_rays: int = 0
     batch_size: int = 1024
     learnrate: float = 5e-4
     noise_std: float = 0.0

@@ -139,6 +139,39 @@ def merge_params(target: dict, source: dict) -> dict:
     return rec(target, source)
 
 
+def load_warm_start_params(template_params: dict, ckpt_dp: str) -> dict:
+    """Params-only warm start from a checkpoint directory.
+
+    Loads the checkpoint's params and overlays them onto freshly initialised
+    ``template_params`` (shapes must match where present; keys absent from
+    the source keep their fresh init). If the target is hierarchical
+    (``fine`` in the template) and the source checkpoint predates the fine
+    field, the fine field is seeded from the source's trained coarse field —
+    the natural coarse-to-fine refinement start.
+
+    ref: framework/util/load_ckpoint.py:94-129 (extract_model_state_dict) —
+    the reference's partial weight-transfer flow, here with the fine-field
+    seeding the reference's scaffolded-but-dead hierarchical path never
+    needed.
+    """
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_dp))
+    src = restored.get("params", restored)
+    src_step = restored.get("step")
+    src = {k: v for k, v in src.items() if k in template_params}
+    params = merge_params(dict(template_params), src)
+    if "fine" in template_params and "fine" not in src and "field" in src:
+        params["fine"] = jax.tree.map(np.array, params["field"])
+        logger.info("Checkpoint", "warm start: fine field seeded from the "
+                                  "source's trained coarse field")
+    logger.info(
+        "Checkpoint",
+        f"warm start: params loaded from {ckpt_dp}"
+        + (f" (source step {int(src_step)})" if src_step is not None else "")
+        + f"; transferred top-level keys: {sorted(src)}",
+    )
+    return params
+
+
 def find_ckpoint_fp(run_dp: str, epoch: int | None = None) -> str:
     """Locate a checkpoint dir by epoch or fall back to last
     (ref: framework/util/load_ckpoint.py:12-27)."""

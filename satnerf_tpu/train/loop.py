@@ -238,6 +238,15 @@ class Trainer:
         ckpt = CheckpointManager(run_dp, cfg.run.save_every_n_epochs)
         if cfg.run.resume_from_ckpoint:
             state = ckpt.restore(state, path=cfg.run.ckpoint_fp or None)
+        elif cfg.run.warm_start_fp:
+            # params-only transfer: fresh optimizer state + step 0, so the
+            # new run gets a full LR schedule over the transferred weights
+            from satnerf_tpu.train.checkpoint import load_warm_start_params
+
+            params = load_warm_start_params(
+                jax.device_get(state.params), cfg.run.warm_start_fp
+            )
+            state = state.replace(params=params, opt_state=optimizer.init(params))
 
         # device placement (replicated across the data mesh when DP > 1)
         mesh = None
@@ -506,9 +515,14 @@ class Trainer:
         # is ~576 round trips ≈ minutes/image (measured, round-4 dress
         # rehearsal). The sc-free validation render comfortably fits 8192
         # rays on-chip, so floor there: 72 round trips for the same image.
-        chunk = max(
-            8192, min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384)
-        )
+        # An explicit val_chunk_rays wins (memory escape hatch, ADVICE r4);
+        # the 8192 floor applies only to the auto-derived value.
+        chunk = int(getattr(cfg.pipeline, "val_chunk_rays", 0) or 0)
+        if chunk <= 0:
+            chunk = max(
+                8192,
+                min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384),
+            )
 
         mesh = getattr(self, "_mesh", None)
         # sanity mode exists to smoke the render/eval path before training

@@ -89,7 +89,11 @@ def main(argv=None):
     dt = jnp.dtype(args.dtype)
     # per-step field points: main half + solar-correction half (every
     # sc_stride-th z rung on the sc half; renderer.py sc_stride quadrature)
-    n_sc = -(-args.batch * args.samples // max(args.sc_stride, 1))
+    # per-ray rung count mirrors the renderer exactly: the strided slice is
+    # anchored at (S-1) % stride (renderer.py:186), giving each ray
+    # ceil(samples/stride) sc rungs — NOT ceil(batch*samples/stride), which
+    # undercounts ~3% whenever stride does not divide samples (ADVICE r4)
+    n_sc = args.batch * (-(-args.samples // max(args.sc_stride, 1)))
     n_points = args.batch * args.samples + n_sc
     xyz_in = 63  # posenc(10 freqs) of xyz + raw (rs_semantic mapping)
     feat, layers, skip = args.feat, args.layers, {4}

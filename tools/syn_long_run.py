@@ -53,6 +53,17 @@ def main(argv=None):
     # with tiny shapes (tests/test_tools.py).
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--units", type=int, default=None)
+    # params-only warm start from an existing checkpoint dir (fresh optimizer
+    # + step 0; in hier mode the fine field is seeded from the source's
+    # trained coarse field — see train/checkpoint.py:load_warm_start_params)
+    ap.add_argument("--warm-start", default=None, metavar="CKPT_DIR")
+    ap.add_argument("--learnrate", type=float, default=None)
+    # positional-encoding frequency bump (rs_semantic maps xyz; the default
+    # 10 freqs give a finest wavelength ~extent/2^10 ≈ 0.25 m at the 768²
+    # dress scene — marginal at 0.33 m GSD, docs/validation_run.md)
+    ap.add_argument("--posenc-freq", type=int, default=None)
+    ap.add_argument("--run-postfix", default=None,
+                    help="override the derived run_name_postfix")
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--n-train", type=int, default=8)
     ap.add_argument("--n-test", type=int, default=3)
@@ -91,10 +102,12 @@ def main(argv=None):
         seed=args.seed,
         steps_per_dispatch=8,
         run_name_postfix=(
-            "hier" if args.n_importance > 0
+            args.run_postfix if args.run_postfix is not None
+            else "hier" if args.n_importance > 0
             else f"sc{args.sc_stride}" if args.sc_stride != 1
             else ""
         ),
+        warm_start_fp=args.warm_start,
     )
     pipe_kwargs = dict(
         batch_size=8192,
@@ -116,6 +129,10 @@ def main(argv=None):
         pipe_kwargs["batch_size"] = args.batch
     if args.units is not None:
         pipe_kwargs["fc_units"] = args.units
+    if args.learnrate is not None:
+        pipe_kwargs["learnrate"] = args.learnrate
+    if args.posenc_freq is not None:
+        pipe_kwargs["mapping_pos_n_freq"] = args.posenc_freq
     pipe = RSSemanticConfig(**pipe_kwargs)
     cfgs = MainConfig(run, pipe)
     _apply_matmul_precision(run.matmul_precision)
