@@ -45,6 +45,27 @@ from satnerf_tpu.train.state import create_train_state, make_optimizer
 from satnerf_tpu.train.step import build_train_step
 
 
+def val_chunk_rays(pipeline_cfg, n_samples: int) -> int:
+    """Validation render chunk in RAYS.
+
+    The configured render_chunk_size is the reference's points-per-chunk
+    GPU-memory knob (÷ n_samples, ref: eval/utils/util.py:14-42), but
+    flooring at its tiny default (40960/64 = 640 rays) makes big-image
+    validation TUNNEL-LATENCY-bound: a 768² image at 1024 rays/chunk is
+    ~576 round trips ≈ minutes/image (measured, round-4 dress rehearsal).
+    The sc-free validation render comfortably fits 8192 rays on-chip, so
+    the auto-derived value floors there (and caps at 16384). An explicit
+    ``val_chunk_rays`` in the pipeline config wins outright — the memory
+    escape hatch (e.g. hierarchical eval tripling points/ray, ADVICE r4).
+    """
+    explicit = int(getattr(pipeline_cfg, "val_chunk_rays", 0) or 0)
+    if explicit > 0:
+        return explicit
+    return max(
+        8192, min(int(pipeline_cfg.render_chunk_size) // n_samples, 16384)
+    )
+
+
 def _make_step_fn(scfg, optimizer, with_depth: bool, mesh=None,
                   scan_steps: int = 1):
     """jitted (state, store, depth_store, idx, depth_idx, key) -> ...
@@ -515,14 +536,7 @@ class Trainer:
         # is ~576 round trips ≈ minutes/image (measured, round-4 dress
         # rehearsal). The sc-free validation render comfortably fits 8192
         # rays on-chip, so floor there: 72 round trips for the same image.
-        # An explicit val_chunk_rays wins (memory escape hatch, ADVICE r4);
-        # the 8192 floor applies only to the auto-derived value.
-        chunk = int(getattr(cfg.pipeline, "val_chunk_rays", 0) or 0)
-        if chunk <= 0:
-            chunk = max(
-                8192,
-                min(int(cfg.pipeline.render_chunk_size) // rcfg.n_samples, 16384),
-            )
+        chunk = val_chunk_rays(cfg.pipeline, rcfg.n_samples)
 
         mesh = getattr(self, "_mesh", None)
         # sanity mode exists to smoke the render/eval path before training

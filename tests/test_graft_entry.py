@@ -42,6 +42,9 @@ def test_dryrun_green_driver_shaped():
     # verdict item 3), not just an executes-check
     assert "dryrun_multichip(4): loss=" in out and "parity ok" in out
     assert "1dev=" in out and "dloss=" in out and "max_dparam=" in out
+    # ... and the sharded-eval-path evidence (round-5: verdict item 7): the
+    # chunked full-image render must agree unsharded vs ray-sharded
+    assert "sharded render parity ok" in out, out
     # -S child: the sitecustomize PJRT plugin must never have loaded
     assert "Platform 'axon' is experimental" not in out
 

@@ -64,6 +64,11 @@ def main(argv=None):
     ap.add_argument("--posenc-freq", type=int, default=None)
     ap.add_argument("--run-postfix", default=None,
                     help="override the derived run_name_postfix")
+    # explicit validation chunk (rays); 0 = auto (8192 floor). The hier
+    # fine pass evaluates 4x the field points per ray of the flagship
+    # config, so its validation renders use a smaller chunk to keep the
+    # same on-chip footprint (train/loop.py:val_chunk_rays).
+    ap.add_argument("--val-chunk-rays", type=int, default=None)
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--n-train", type=int, default=8)
     ap.add_argument("--n-test", type=int, default=3)
@@ -125,6 +130,8 @@ def main(argv=None):
             batch_size=4096,
             remat_chunks=2,
         )
+    if args.val_chunk_rays is not None:
+        pipe_kwargs["val_chunk_rays"] = args.val_chunk_rays
     if args.batch is not None:
         pipe_kwargs["batch_size"] = args.batch
     if args.units is not None:
