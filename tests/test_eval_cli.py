@@ -212,3 +212,107 @@ def test_eval_all_typo_path_fails_fast(tmp_path):
     with _pytest.raises(FileNotFoundError):
         eval_all(bad, splits="test")
     assert not os.path.exists(os.path.join(bad, "eval_battery"))
+
+
+def test_eval_split_resumable_partials(trained_run, tmp_path, monkeypatch):
+    """max_images batching stops early, per-image partials make the resume
+    skip finished renders, and the merged results match a one-shot run."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval import eval as eval_mod
+    from satnerf_tpu.eval.loader import load_run
+
+    out = str(tmp_path / "battery")
+    os.makedirs(out, exist_ok=True)
+    pipeline, params, rcfg, step = load_run(run_dp)
+    run_name = os.path.basename(run_dp)
+
+    rendered = []
+    real_render = eval_mod.render_image_chunked
+
+    def counting_render(params, rcfg, rays, extras, chunk=16384, mesh=None):
+        rendered.append(rays.shape[0])
+        return real_render(params, rcfg, rays, extras, chunk=chunk, mesh=mesh)
+
+    monkeypatch.setattr(eval_mod, "render_image_chunked", counting_render)
+
+    done = eval_mod._eval_split(
+        pipeline, params, rcfg, step, run_dp, out, "test",
+        chunk=2048, max_images=1,
+    )
+    assert not done and len(rendered) == 1
+    partial_dp = os.path.join(out, run_name, "partial", "test")
+    assert len([f for f in os.listdir(partial_dp) if f.endswith(".json")]) == 1
+
+    done = eval_mod._eval_split(
+        pipeline, params, rcfg, step, run_dp, out, "test", chunk=2048,
+    )
+    assert done
+    # image 1 was NOT re-rendered: 2 renders total for the 2-image split
+    assert len(rendered) == 2
+    res_fp = os.path.join(out, run_name, "eval", "test", "results.json")
+    assert os.path.isfile(res_fp)
+    merged = json.load(open(res_fp))
+    assert any(k.startswith("mean") or "/" not in k for k in merged)
+
+    # a partial from ANOTHER checkpoint step is stale -> re-rendered
+    rendered.clear()
+    done = eval_mod._eval_split(
+        pipeline, params, rcfg, step + 1, run_dp, out, "test", chunk=2048,
+    )
+    assert done and len(rendered) == 2
+
+
+def test_eval_all_subprocess_isolation(trained_run, tmp_path, monkeypatch):
+    """Fresh-worker mode: eval_all spawns short-lived worker subprocesses
+    (batch_images=1 => one image per client) and produces the same
+    published battery artifacts."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval.eval import eval_all
+
+    monkeypatch.setenv("SATNERF_EVAL_FORCE_PLATFORM", "cpu")
+    out = str(tmp_path / "battery_iso")
+    os.makedirs(out, exist_ok=True)
+    eval_all(run_dp, out, splits="test", chunk=2048,
+             isolate="subprocess", batch_images=1, stall_timeout_s=600.0)
+    run_name = os.path.basename(run_dp)
+    assert os.path.isfile(
+        os.path.join(out, run_name, "eval", "test", "results.json")
+    )
+    assert os.path.isfile(
+        os.path.join(out, run_name, "eval_semantic", "test", "results.json")
+    )
+    assert os.path.isfile(os.path.join(out, "gathered.txt"))
+
+
+def test_eval_worker_stall_respawn(trained_run, tmp_path, monkeypatch):
+    """A worker whose heartbeat goes stale is SIGTERMed and respawned; the
+    split still completes (stall simulated via an env-gated sleep hook in a
+    stub worker command)."""
+    base, run_dp = trained_run
+    from satnerf_tpu.eval import eval as eval_mod
+
+    out = str(tmp_path / "battery_stall")
+    run_name = os.path.basename(run_dp)
+    partial_dp = eval_mod._partial_dp(out, run_name, "test")
+    os.makedirs(partial_dp, exist_ok=True)
+
+    calls = {"n": 0}
+    real_popen = eval_mod.subprocess.Popen
+
+    def fake_popen(cmd, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first worker: hangs forever (simulated device stall)
+            return real_popen(
+                [sys.executable, "-c", "import time; time.sleep(600)"]
+            )
+        # respawn: completes the split instantly
+        return real_popen([sys.executable, "-c", "import sys; sys.exit(0)"])
+
+    import sys
+
+    monkeypatch.setattr(eval_mod.subprocess, "Popen", fake_popen)
+    eval_mod._run_split_isolated(
+        run_dp, out, "test", -1, 2048, 0, stall_timeout_s=8.0,
+    )
+    assert calls["n"] == 2
