@@ -179,6 +179,11 @@ class SatNeRFConfig(SNeRFConfig):
     depth_supervision_drop: float = 0.25
     ds_lambda: float = 1000.0
     first_beta_epoch: int = 2
+    # opt-in beta warm-up: mix the uncertainty losses in linearly over this
+    # many epochs after first_beta_epoch instead of the reference's one-step
+    # gate (0 = reference-exact). Mitigation for the small-batch beta
+    # transient; see docs/validation_run.md "beta warm-up gate".
+    beta_ramp_epochs: float = 0.0
     t_embedding_vocab: int = 50
     t_embedding_tau: int = 4
     ds_noweights: bool = False

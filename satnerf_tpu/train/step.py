@@ -42,6 +42,13 @@ class StepConfig:
     # rgb loss
     sc_lambda: float = 0.05
     first_beta_epoch: int = 2
+    # beta warm-up ramp (opt-in mitigation for the small-batch beta
+    # transient, docs/validation_run.md "8x512 anchor"): 0 = the
+    # reference-exact step gate at first_beta_epoch
+    # (ref: baseline/components/training_step.py:22-27); > 0 = mix the
+    # uncertainty losses in LINEARLY over this many epochs starting at
+    # first_beta_epoch instead of switching in one step.
+    beta_ramp_epochs: float = 0.0
     # depth
     depth: bool = False  # include the depth forward in this step program
     ds_lambda: float = 1000.0
@@ -90,7 +97,22 @@ def compute_losses(scfg: StepConfig, params, batch, step, key):
 
     beta_active = jnp.asarray(0.0)
     if scfg.variant not in ("nerf", "snerf"):
-        beta_active = (epoch >= scfg.first_beta_epoch).astype(jnp.float32)
+        if scfg.beta_ramp_epochs > 0:
+            # linear warm-up: 0 before first_beta_epoch, 1 after
+            # first_beta_epoch + beta_ramp_epochs, mixing in between —
+            # the uncertainty re-weighting arrives gradually instead of
+            # starving supervision in one step at small batch sizes
+            ramp_steps = float(scfg.beta_ramp_epochs * scfg.steps_per_epoch)
+            # float math: first_beta_epoch can be 1e7 (tj mode), which
+            # overflows int32 when multiplied by steps_per_epoch
+            start = float(scfg.first_beta_epoch) * float(scfg.steps_per_epoch)
+            beta_active = jnp.clip(
+                (jnp.asarray(step, jnp.float32) - start) / ramp_steps,
+                0.0,
+                1.0,
+            )
+        else:
+            beta_active = (epoch >= scfg.first_beta_epoch).astype(jnp.float32)
         loss_dict["beta_loss_activated"] = beta_active
 
     loss = jnp.asarray(0.0)
@@ -398,6 +420,7 @@ def step_config_from_main(
             if getattr(p, "use_tj_instead_of_beta", False)
             else getattr(p, "first_beta_epoch", 2)
         ),
+        beta_ramp_epochs=getattr(p, "beta_ramp_epochs", 0.0),
         depth=depth,
         ds_lambda=getattr(p, "ds_lambda", 1000.0),
         ds_noweights=getattr(p, "ds_noweights", False),

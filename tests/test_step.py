@@ -297,3 +297,47 @@ def test_sc_stride_full_step_trains():
     cfg = MainConfig(RunConfig(), RSSemanticConfig(sc_stride=4))
     sc = step_config_from_main(cfg, steps_per_epoch=4, n_classes=5)
     assert sc.render.sc_stride == 4
+
+
+def test_beta_ramp_warmup_schedule():
+    """Opt-in beta warm-up (round-5): beta_active ramps linearly over
+    beta_ramp_epochs instead of the reference's one-step gate — 0 before
+    first_beta_epoch, fractional inside the ramp, 1 after."""
+    scfg = _scfg("rs_semantic", steps_per_epoch=5, beta_ramp_epochs=2.0)
+    opt = make_optimizer(1e-3, steps_per_epoch=5)
+    state = create_train_state(jax.random.PRNGKey(1), scfg.render.field, opt)
+    step = jax.jit(build_train_step(scfg, opt))
+    batch = _batch()
+
+    betas = {}
+    for i in range(16):
+        s = int(state.step)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        betas[s] = float(metrics["beta_loss_activated"])
+    # first_beta_epoch=1 (start step 5), ramp = 2 epochs = 10 steps
+    assert betas[0] == 0.0 and betas[4] == 0.0
+    np.testing.assert_allclose(betas[5], 0.0, atol=1e-6)
+    np.testing.assert_allclose(betas[10], 0.5, atol=1e-6)
+    np.testing.assert_allclose(betas[14], 0.9, atol=1e-6)
+    assert betas[15] == 1.0
+    # the mixing itself must stay finite and trainable mid-ramp
+    assert np.isfinite(betas[7])
+
+
+def test_beta_ramp_zero_is_reference_exact_gate():
+    """beta_ramp_epochs=0 (default) keeps the one-step gate bit-exact."""
+    kw = dict(steps_per_epoch=5)
+    scfg_gate = _scfg("rs_semantic", **kw)
+    scfg_ramp0 = _scfg("rs_semantic", beta_ramp_epochs=0.0, **kw)
+    opt = make_optimizer(1e-3, steps_per_epoch=5)
+    s1 = create_train_state(jax.random.PRNGKey(1), scfg_gate.render.field, opt)
+    s2 = create_train_state(jax.random.PRNGKey(1), scfg_ramp0.render.field, opt)
+    f1 = jax.jit(build_train_step(scfg_gate, opt))
+    f2 = jax.jit(build_train_step(scfg_ramp0, opt))
+    batch = _batch()
+    for i in range(7):
+        s1, m1 = f1(s1, batch, jax.random.PRNGKey(i))
+        s2, m2 = f2(s2, batch, jax.random.PRNGKey(i))
+    np.testing.assert_array_equal(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"])
+    )

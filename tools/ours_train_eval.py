@@ -47,6 +47,11 @@ def main(argv=None):
         help="solar-correction quadrature stride (1 = reference-exact full "
              "ladder); drives the paired-seed sc_stride quality-gate runs",
     )
+    ap.add_argument(
+        "--beta-ramp-epochs", type=float, default=0.0,
+        help="opt-in beta warm-up ramp (epochs); 0 = reference-exact step "
+             "gate — drives the paired-seed beta-transient gate runs",
+    )
     ap.add_argument("--steps-per-dispatch", type=int, default=4)
     ap.add_argument(
         "--eval-at", default="",
@@ -98,6 +103,7 @@ def main(argv=None):
         compute_dtype=args.dtype,
         sin_impl=args.sin_impl,
         sc_stride=args.sc_stride,
+        beta_ramp_epochs=args.beta_ramp_epochs,
     )
     cfg = MainConfig(run, pipe)
     pipeline = load_pipeline(cfg)
