@@ -51,7 +51,8 @@ M_PER_DEG_LON = 111320.0 * np.cos(np.radians(LAT0))
 class SceneModel:
     """Deterministic analytic scene: height, class and albedo over metres."""
 
-    def __init__(self, extent_m: float = 256.0, seed: int = 0) -> None:
+    def __init__(self, extent_m: float = 256.0, seed: int = 0,
+                 height_scale: float = 1.0) -> None:
         self.extent = extent_m
         rng = np.random.default_rng(seed)
         # gaussian terrain bumps
@@ -59,14 +60,17 @@ class SceneModel:
             (rng.uniform(0.15, 0.85, 2) * extent_m, rng.uniform(25, 70), rng.uniform(2, 6))
             for _ in range(6)
         ]
-        # box buildings: (x0, y0, w, h, height)
+        # box buildings: (x0, y0, w, h, height). height_scale varies the
+        # built regime across scenes (the DFC2019 areas differ the same way:
+        # JAX_068 is downtown high-rise, JAX_260 low residential —
+        # ref README.md:33-48)
         self.boxes = [
             (
                 rng.uniform(0.1, 0.8) * extent_m,
                 rng.uniform(0.1, 0.8) * extent_m,
                 rng.uniform(0.06, 0.15) * extent_m,
                 rng.uniform(0.06, 0.15) * extent_m,
-                rng.uniform(8, 22),
+                rng.uniform(8, 22) * height_scale,
             )
             for _ in range(5)
         ]
@@ -156,9 +160,15 @@ def generate_scene(
     aoi_name: str = "SYN_001",
     seed: int = 0,
     corrupt_labels: bool = True,
+    height_scale: float = 1.0,
+    sun_el_range: tuple = (35.0, 70.0),
 ) -> str:
-    """Generate a full dataset directory; returns ``out_dp``."""
-    scene = SceneModel(seed=seed)
+    """Generate a full dataset directory; returns ``out_dp``.
+
+    ``height_scale`` and ``sun_el_range`` vary the scene regime (building
+    height band, sun-elevation band) so multi-scene workflows can mimic the
+    DFC2019 areas' variety (ref README.md:33-48)."""
+    scene = SceneModel(seed=seed, height_scale=height_scale)
     extent = scene.extent
     res = extent / img_size
     rng = np.random.default_rng(seed + 1)
@@ -175,7 +185,7 @@ def generate_scene(
     n_views = n_train + n_test
     # off-nadir parallax per view (m of ground shift per m of altitude)
     para = rng.uniform(-0.35, 0.35, (n_views, 2))
-    sun_els = rng.uniform(35.0, 70.0, n_views)
+    sun_els = rng.uniform(sun_el_range[0], sun_el_range[1], n_views)
     sun_azs = rng.uniform(80.0, 280.0, n_views)
 
     # tie points on the surface (shared across views)

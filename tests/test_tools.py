@@ -77,3 +77,24 @@ def test_launcher_smoke_hierarchical(tmp_path):
     assert "use_fine_network = true" in txt
     # the smoke --batch override must win over the hier batch drop
     assert "batch_size = 64" in txt
+
+
+def test_four_scenes_workflow_smoke(tmp_path):
+    """The reference's primary user loop (one run per area -> gathered
+    comparison table) end-to-end on two tiny synthetic regimes."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from four_scenes import main as four_main
+
+    root = str(tmp_path / "four")
+    rc = four_main([
+        root, "--steps", "8", "--img-size", "24", "--n-train", "2",
+        "--n-test", "1", "--batch", "64", "--units", "32",
+        "--n-samples", "8", "--tie-points", "60",
+        "--scenes", "SYN_SUBURB,SYN_RESIDENT",
+    ])
+    assert rc == 0
+    table_fp = os.path.join(root, "gathered_four_scenes.txt")
+    assert os.path.isfile(table_fp)
+    table = open(table_fp).read()
+    assert "SYN_SUBURB" in table and "SYN_RESIDENT" in table
+    assert "PSNR" in table and "mIoU" in table
