@@ -112,14 +112,24 @@ def main(argv=None):
 
     trainer = Trainer(pipeline, log_every=100)
 
+    # time-to-parity accounting (tools/time_to_parity.py): at each curve
+    # horizon record wall-clock SINCE TRAINING STARTED with prior curve-eval
+    # time subtracted — the honest "minutes of training to reach this
+    # quality" (the first remote compile stays included: a user pays it too)
+    eval_overhead = {"s": 0.0}
+
     def _curve_eval(state, step):
+        t_ev = time.time()
         r = evaluate_ours(args, pipeline, state)
+        r["train_seconds_to_here"] = t_ev - t0 - eval_overhead["s"]
+        eval_overhead["s"] += time.time() - t_ev
         fp = os.path.join(args.out_dp, f"results_step{step}.json")
         with open(fp, "w") as f:
             json.dump(r, f, indent=2)
         print(
             f"[curve] step {step}: psnr={r['psnr']:.2f} mae={r['mae']:.2f} "
-            f"acc={r['acc']:.3f} miou={r['miou']:.3f}",
+            f"acc={r['acc']:.3f} miou={r['miou']:.3f} "
+            f"t_train={r['train_seconds_to_here']:.0f}s",
             flush=True,
         )
 
@@ -136,6 +146,9 @@ def main(argv=None):
     # wall-clock including the remote first compile (~1-2 min on this
     # tunnel); NOT a throughput measurement — bench.py owns those
     results["train_wall_seconds_incl_compile"] = train_seconds
+    results["train_seconds_excl_curve_evals"] = (
+        train_seconds - eval_overhead["s"]
+    )
     results["steps"] = args.steps
     results["it_per_s_wall"] = args.steps / train_seconds
     with open(os.path.join(args.out_dp, "results.json"), "w") as f:
