@@ -64,6 +64,11 @@ def main(argv=None):
     ap.add_argument("--posenc-freq", type=int, default=None)
     ap.add_argument("--run-postfix", default=None,
                     help="override the derived run_name_postfix")
+    # beta-gate override: the round-5 warm-hier run measured the beta
+    # uncertainty losses re-breaking trained-sigma altitude sharpness at
+    # fine GSD (test MAE 1.688 -> 5.516 across the gate, validation_run.md);
+    # a large value keeps beta OFF for pure fine-pass refinement phases.
+    ap.add_argument("--first-beta-epoch", type=int, default=None)
     # explicit validation chunk (rays); 0 = auto (8192 floor). The hier
     # fine pass evaluates 4x the field points per ray of the flagship
     # config, so its validation renders use a smaller chunk to keep the
@@ -132,6 +137,8 @@ def main(argv=None):
         )
     if args.val_chunk_rays is not None:
         pipe_kwargs["val_chunk_rays"] = args.val_chunk_rays
+    if args.first_beta_epoch is not None:
+        pipe_kwargs["first_beta_epoch"] = args.first_beta_epoch
     if args.batch is not None:
         pipe_kwargs["batch_size"] = args.batch
     if args.units is not None:
