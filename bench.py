@@ -399,7 +399,11 @@ def _guarded_main(timeout_s: float = 720.0, retry_backoff_s: float = 150.0) -> N
         # attempt must not overrun a small timeout_s, ADVICE round-4). A
         # fast-failing attempt (e.g. UNAVAILABLE at init) still fits a tiny
         # budget and yields diagnostics; only a truly spent budget skips.
-        join_s = min(430.0, remaining - 20.0)
+        # First-attempt window 580 s (round 5): post-wedge remote compiles
+        # were measured at 7-13 min cold — a 430 s window killed a HEALTHY
+        # child mid-compile (phase diagnostics showed compile t=36s..430s).
+        # 580 s still leaves a fast-fail retry inside the 720 s contract.
+        join_s = min(580.0, remaining - 20.0)
         if join_s < 5.0:
             break
         # SIGTERM grace before SIGKILL: scaled into the remaining budget but
